@@ -1,0 +1,268 @@
+"""SMPL-X body model data: loading, structure, and synthetic test artifacts.
+
+The reference consumes the external `smplx` package (a torch nn.Module built
+from SMPLX_{GENDER}.npz artifacts; created at smplifyx/main.py:109-127).  The
+TPU build represents the model as an immutable pytree of arrays consumed by a
+pure forward function (models/forward.py) — no module state, fully
+jit/vmap/shard-able.
+
+Because the licensed SMPL-X artifacts cannot ship with this repo, a
+`synthetic_model(...)` generator builds a structurally-identical model of any
+size (same fields, kinematic tree, PCA hand space, landmark tables).  Tests
+and benchmarks run on synthetic models; `load_smplx_npz` loads the real thing
+when the user provides it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+# Canonical SMPL-X dimensions (real artifacts).
+NUM_JOINTS = 55  # kinematic tree: pelvis + 21 body + jaw + 2 eyes + 2x15 hand
+NUM_BODY_JOINTS = 21
+NUM_HAND_JOINTS = 15
+NUM_VERTS = 10475
+NUM_FACES = 20908
+NUM_EXPR_TOTAL = 100  # expression columns in the npz shapedirs
+SHAPE_SPACE_DIM = 300
+
+# SMPL-X kinematic parents (public model topology; reproduced from the model
+# definition, required to rebuild the rigid transform chain).
+SMPLX_PARENTS = np.array(
+    [-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18, 19,
+     15, 15, 15,  # 22 jaw, 23 leye, 24 reye
+     20, 25, 26, 20, 28, 29, 20, 31, 32, 20, 34, 35, 20, 37, 38,  # left hand
+     21, 40, 41, 21, 43, 44, 21, 46, 47, 21, 49, 50, 21, 52, 53],  # right hand
+    dtype=np.int32,
+)
+
+# Vertex ids for the 21 extra "vertex joints" appended after the 55 skeleton
+# joints (nose/eyes/ears, toes/heels, finger tips) — order fixed by the
+# annotation mapping (see models/joint_mapping.py and SURVEY.md §2 row 4).
+SMPLX_EXTRA_JOINT_VIDS = np.array(
+    [9120, 9929, 9448, 616, 6,            # nose, R/L eye, R/L ear
+     5770, 5780, 8846, 8463, 8474, 8635,  # L toes/heel, R toes/heel
+     5361, 4933, 5058, 5169, 5286,        # left finger tips (thumb..pinky)
+     8079, 7669, 7794, 7905, 8022],       # right finger tips (thumb..pinky)
+    dtype=np.int32,
+)
+# Names, for documentation/IO:
+EXTRA_JOINT_NAMES = (
+    "nose", "right_eye", "left_eye", "right_ear", "left_ear",
+    "left_big_toe", "left_small_toe", "left_heel",
+    "right_big_toe", "right_small_toe", "right_heel",
+    "left_thumb", "left_index", "left_middle", "left_ring", "left_pinky",
+    "right_thumb", "right_index", "right_middle", "right_ring", "right_pinky",
+)
+
+
+@struct.dataclass
+class SMPLXModel:
+    """Immutable SMPL-X model tensors (a JAX pytree).
+
+    Shapes use V = #vertices, J = #skeleton joints, F = #faces,
+    B = #shape coeffs kept, E = #expression coeffs kept, C = #hand PCA comps,
+    P = (J - 1) * 9 pose-corrective features.
+    """
+
+    v_template: jax.Array        # [V, 3]
+    shapedirs: jax.Array         # [V, 3, B]
+    exprdirs: jax.Array          # [V, 3, E]
+    posedirs: jax.Array          # [P, V * 3]
+    J_regressor: jax.Array       # [J, V]
+    lbs_weights: jax.Array       # [V, J]
+    parents: jax.Array = struct.field(pytree_node=False)  # np [J] static tree
+    faces: jax.Array             # [F, 3] int32
+    left_hand_components: jax.Array   # [C, 45]
+    right_hand_components: jax.Array  # [C, 45]
+    left_hand_mean: jax.Array    # [45]
+    right_hand_mean: jax.Array   # [45]
+    extra_joint_vids: jax.Array  # [21] int32
+    lmk_faces_idx: jax.Array     # [51] int32 static face landmarks
+    lmk_bary_coords: jax.Array   # [51, 3]
+    dyn_lmk_faces_idx: jax.Array    # [L, 17] contour landmark faces per head-yaw bucket
+    dyn_lmk_bary_coords: jax.Array  # [L, 17, 3]
+    # static (non-pytree) metadata
+    num_verts: int = struct.field(pytree_node=False)
+    num_joints: int = struct.field(pytree_node=False)
+    neck_kin_chain: Any = struct.field(pytree_node=False)  # np [n] int
+
+    @property
+    def num_betas(self) -> int:
+        return self.shapedirs.shape[-1]
+
+    @property
+    def num_expr(self) -> int:
+        return self.exprdirs.shape[-1]
+
+    @property
+    def num_pca(self) -> int:
+        return self.left_hand_components.shape[0]
+
+
+def _neck_kin_chain(parents: np.ndarray, head_idx: int = 15) -> np.ndarray:
+    """Ancestor chain from the head joint to the root, used to aggregate the
+    head yaw for dynamic (contour) landmark selection."""
+    chain = []
+    idx = head_idx
+    while idx != -1 and len(chain) < len(parents):
+        chain.append(idx)
+        idx = int(parents[idx])
+    return np.asarray(chain, dtype=np.int32)
+
+
+def load_smplx_npz(
+    path: str,
+    num_betas: int = 10,
+    num_expression_coeffs: int = 10,
+    num_pca_comps: int = 12,
+    dtype=jnp.float32,
+) -> SMPLXModel:
+    """Load a real SMPLX_{GENDER}.npz artifact into an SMPLXModel pytree.
+
+    Field conventions follow the published SMPL-X npz layout: `shapedirs`
+    holds 300 shape + 100 expression columns; `posedirs` is [V, 3, (J-1)*9];
+    hands ship PCA components/means; landmark tables drive the face contour.
+    (Reference consumes the same artifact through `smplx.create`,
+    smplifyx/main.py:109-127.)
+    """
+    raw = np.load(path, allow_pickle=True)
+    d = {k: raw[k] for k in raw.files}
+
+    shapedirs_all = np.asarray(d["shapedirs"], dtype=np.float32)
+    if shapedirs_all.shape[-1] > SHAPE_SPACE_DIM:  # shape+expression packed
+        shape_cols = shapedirs_all[..., :num_betas]
+        expr_cols = shapedirs_all[
+            ..., SHAPE_SPACE_DIM : SHAPE_SPACE_DIM + num_expression_coeffs
+        ]
+    else:
+        shape_cols = shapedirs_all[..., :num_betas]
+        expr_cols = np.asarray(d["exprdirs"], dtype=np.float32)[
+            ..., :num_expression_coeffs
+        ]
+
+    posedirs = np.asarray(d["posedirs"], dtype=np.float32)
+    V = posedirs.shape[0]
+    posedirs = posedirs.reshape(V * 3, -1).T  # [P, V*3]
+
+    parents = np.asarray(d["kintree_table"][0], dtype=np.int32).copy()
+    parents[0] = -1
+
+    def arr(key, np_dtype=np.float32):
+        return np.asarray(d[key], dtype=np_dtype)
+
+    return SMPLXModel(
+        v_template=jnp.asarray(arr("v_template"), dtype=dtype),
+        shapedirs=jnp.asarray(shape_cols, dtype=dtype),
+        exprdirs=jnp.asarray(expr_cols, dtype=dtype),
+        posedirs=jnp.asarray(posedirs, dtype=dtype),
+        J_regressor=jnp.asarray(arr("J_regressor"), dtype=dtype),
+        lbs_weights=jnp.asarray(arr("weights"), dtype=dtype),
+        parents=parents,
+        faces=jnp.asarray(arr("f", np.int64), dtype=jnp.int32),
+        left_hand_components=jnp.asarray(
+            arr("hands_componentsl")[:num_pca_comps], dtype=dtype
+        ),
+        right_hand_components=jnp.asarray(
+            arr("hands_componentsr")[:num_pca_comps], dtype=dtype
+        ),
+        left_hand_mean=jnp.asarray(arr("hands_meanl"), dtype=dtype),
+        right_hand_mean=jnp.asarray(arr("hands_meanr"), dtype=dtype),
+        extra_joint_vids=jnp.asarray(SMPLX_EXTRA_JOINT_VIDS),
+        lmk_faces_idx=jnp.asarray(arr("lmk_faces_idx", np.int64), dtype=jnp.int32),
+        lmk_bary_coords=jnp.asarray(arr("lmk_bary_coords"), dtype=dtype),
+        dyn_lmk_faces_idx=jnp.asarray(
+            arr("dynamic_lmk_faces_idx", np.int64), dtype=jnp.int32
+        ),
+        dyn_lmk_bary_coords=jnp.asarray(arr("dynamic_lmk_bary_coords"), dtype=dtype),
+        num_verts=V,
+        num_joints=len(parents),
+        neck_kin_chain=_neck_kin_chain(parents),
+    )
+
+
+def synthetic_model(
+    num_verts: int = 256,
+    num_betas: int = 10,
+    num_expression_coeffs: int = 10,
+    num_pca_comps: int = 12,
+    seed: int = 0,
+    dtype=jnp.float32,
+) -> SMPLXModel:
+    """Build a structurally-complete synthetic SMPL-X model.
+
+    Same kinematic tree (55 joints), hand PCA space, landmark machinery and
+    field layout as the real artifact, but with `num_verts` random vertices.
+    Magnitudes are chosen so that fitting energies are well-conditioned:
+    template ~ human-sized (meters), blendshapes ~ cm-scale.
+    """
+    rng = np.random.default_rng(seed)
+    V = num_verts
+    J = NUM_JOINTS
+    parents = SMPLX_PARENTS.copy()
+
+    v_template = rng.normal(scale=0.25, size=(V, 3)).astype(np.float32)
+    v_template[:, 1] *= 2.0  # taller than wide, human-ish aspect
+
+    shapedirs = rng.normal(scale=0.01, size=(V, 3, num_betas)).astype(np.float32)
+    exprdirs = rng.normal(scale=0.003, size=(V, 3, num_expression_coeffs)).astype(
+        np.float32
+    )
+    posedirs = rng.normal(scale=0.001, size=((J - 1) * 9, V * 3)).astype(np.float32)
+
+    # Joint regressor: rows are convex combinations of a few nearby vertices.
+    J_regressor = np.zeros((J, V), dtype=np.float32)
+    for j in range(J):
+        sel = rng.choice(V, size=min(8, V), replace=False)
+        w = rng.uniform(0.1, 1.0, size=len(sel)).astype(np.float32)
+        J_regressor[j, sel] = w / w.sum()
+
+    # Skinning weights: each vertex influenced by <=4 random joints.
+    lbs = np.zeros((V, J), dtype=np.float32)
+    for v in range(V):
+        sel = rng.choice(J, size=4, replace=False)
+        w = rng.uniform(0.1, 1.0, size=4).astype(np.float32)
+        lbs[v, sel] = w / w.sum()
+
+    num_faces = max(4, V // 2)
+    faces = rng.integers(0, V, size=(num_faces, 3)).astype(np.int32)
+
+    hand_comp_l = rng.normal(scale=0.5, size=(num_pca_comps, 45)).astype(np.float32)
+    hand_comp_r = rng.normal(scale=0.5, size=(num_pca_comps, 45)).astype(np.float32)
+    hand_mean = rng.normal(scale=0.1, size=(2, 45)).astype(np.float32)
+
+    extra_vids = rng.choice(V, size=len(SMPLX_EXTRA_JOINT_VIDS), replace=V < 21)
+    lmk_faces = rng.integers(0, num_faces, size=(51,)).astype(np.int32)
+    lmk_bary = rng.dirichlet(np.ones(3), size=(51,)).astype(np.float32)
+    L = 79  # yaw buckets, same as the real table
+    dyn_faces = rng.integers(0, num_faces, size=(L, 17)).astype(np.int32)
+    dyn_bary = rng.dirichlet(np.ones(3), size=(L, 17)).astype(np.float32)
+
+    return SMPLXModel(
+        v_template=jnp.asarray(v_template, dtype=dtype),
+        shapedirs=jnp.asarray(shapedirs, dtype=dtype),
+        exprdirs=jnp.asarray(exprdirs, dtype=dtype),
+        posedirs=jnp.asarray(posedirs, dtype=dtype),
+        J_regressor=jnp.asarray(J_regressor, dtype=dtype),
+        lbs_weights=jnp.asarray(lbs, dtype=dtype),
+        parents=parents,
+        faces=jnp.asarray(faces),
+        left_hand_components=jnp.asarray(hand_comp_l, dtype=dtype),
+        right_hand_components=jnp.asarray(hand_comp_r, dtype=dtype),
+        left_hand_mean=jnp.asarray(hand_mean[0], dtype=dtype),
+        right_hand_mean=jnp.asarray(hand_mean[1], dtype=dtype),
+        extra_joint_vids=jnp.asarray(extra_vids.astype(np.int32)),
+        lmk_faces_idx=jnp.asarray(lmk_faces),
+        lmk_bary_coords=jnp.asarray(lmk_bary, dtype=dtype),
+        dyn_lmk_faces_idx=jnp.asarray(dyn_faces),
+        dyn_lmk_bary_coords=jnp.asarray(dyn_bary, dtype=dtype),
+        num_verts=V,
+        num_joints=J,
+        neck_kin_chain=_neck_kin_chain(parents),
+    )
