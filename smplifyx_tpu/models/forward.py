@@ -124,7 +124,7 @@ def _head_yaw_bucket(rot_mats: jax.Array, neck_chain, num_buckets: int) -> jax.A
     yaw = jnp.arctan2(
         -R[:, 2, 0], jnp.sqrt(R[:, 0, 0] ** 2 + R[:, 1, 0] ** 2)
     )
-    deg = jnp.round(jnp.clip(-yaw * (180.0 / jnp.pi), a_max=39.0)).astype(jnp.int32)
+    deg = jnp.round(jnp.clip(-yaw * (180.0 / jnp.pi), max=39.0)).astype(jnp.int32)
     neg = deg < 0
     big_neg = deg < -39
     neg_vals = jnp.where(big_neg, 78, 39 - deg)
