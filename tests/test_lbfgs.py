@@ -1,0 +1,165 @@
+"""Batched strong-Wolfe L-BFGS: correctness on standard test problems."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from smplifyx_tpu.fitting.lbfgs import LBFGSConfig, minimize
+
+
+def rosenbrock(x):
+    return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1.0 - x[:-1]) ** 2)
+
+
+class TestQuadratic:
+    def test_exact_on_quadratic(self):
+        rng = np.random.default_rng(0)
+        D = 8
+        A = rng.normal(size=(D, D))
+        Q = jnp.asarray(A @ A.T + np.eye(D) * 2.0, jnp.float32)
+        b = jnp.asarray(rng.normal(size=D), jnp.float32)
+
+        fun = lambda x: 0.5 * x @ Q @ x - b @ x
+        res = minimize(fun, jnp.zeros(D), cfg=LBFGSConfig(max_iters=100))
+        x_star = np.linalg.solve(np.asarray(Q, np.float64), np.asarray(b, np.float64))
+        np.testing.assert_allclose(np.asarray(res.x), x_star, atol=1e-4)
+        assert bool(res.converged)
+
+    def test_convergence_flag_and_counts(self):
+        fun = lambda x: jnp.sum((x - 3.0) ** 2)
+        res = minimize(fun, jnp.zeros(4))
+        assert bool(res.converged)
+        assert int(res.n_iters) <= 5
+        np.testing.assert_allclose(np.asarray(res.x), 3.0, atol=1e-5)
+
+
+class TestRosenbrock:
+    def test_2d(self):
+        res = minimize(
+            rosenbrock, jnp.asarray([-1.2, 1.0], jnp.float32),
+            cfg=LBFGSConfig(max_iters=200, ftol=0.0, gtol=1e-6),
+        )
+        np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-3)
+
+    def test_10d(self):
+        x0 = jnp.full((10,), -0.5, jnp.float32)
+        res = minimize(
+            rosenbrock, x0, cfg=LBFGSConfig(max_iters=400, ftol=0.0, gtol=1e-5)
+        )
+        assert float(res.f) < 1e-6
+
+    def test_matches_torch_lbfgs_quality(self):
+        """Final loss should be as good as torch's LBFGS with strong Wolfe."""
+        torch = pytest.importorskip("torch")
+        x0 = np.full(6, -0.7, np.float32)
+
+        xt = torch.tensor(x0, requires_grad=True)
+        opt = torch.optim.LBFGS(
+            [xt], lr=1.0, max_iter=200, line_search_fn="strong_wolfe"
+        )
+
+        def closure():
+            opt.zero_grad()
+            loss = (
+                100 * (xt[1:] - xt[:-1] ** 2) ** 2 + (1 - xt[:-1]) ** 2
+            ).sum()
+            loss.backward()
+            return loss
+
+        for _ in range(5):
+            opt.step(closure)
+        torch_f = float(closure())
+
+        res = minimize(
+            rosenbrock, jnp.asarray(x0),
+            cfg=LBFGSConfig(max_iters=400, ftol=0.0, gtol=1e-7),
+        )
+        ours_f = float(res.f)
+        assert ours_f <= torch_f + 1e-4, (ours_f, torch_f)
+
+
+class TestMasking:
+    def test_frozen_coordinates_do_not_move(self):
+        fun = lambda x: jnp.sum((x - 5.0) ** 2)
+        x0 = jnp.zeros(6)
+        mask = jnp.asarray([1.0, 1.0, 0.0, 0.0, 1.0, 0.0])
+        res = minimize(fun, x0, mask=mask)
+        x = np.asarray(res.x)
+        np.testing.assert_allclose(x[[0, 1, 4]], 5.0, atol=1e-5)
+        np.testing.assert_allclose(x[[2, 3, 5]], 0.0, atol=0)
+
+    def test_masked_solution_optimal_in_subspace(self):
+        rng = np.random.default_rng(1)
+        D = 6
+        A = rng.normal(size=(D, D))
+        Q = np.asarray(A @ A.T + np.eye(D) * 2.0, np.float32)
+        b = rng.normal(size=D).astype(np.float32)
+        free = np.array([0, 2, 5])
+
+        fun = lambda x: 0.5 * x @ jnp.asarray(Q) @ x - jnp.asarray(b) @ x
+        mask = np.zeros(D, np.float32)
+        mask[free] = 1.0
+        res = minimize(fun, jnp.zeros(D), mask=jnp.asarray(mask),
+                       cfg=LBFGSConfig(max_iters=100))
+        # Solve the restricted problem exactly.
+        Qf = Q[np.ix_(free, free)].astype(np.float64)
+        bf = b[free].astype(np.float64)
+        expect = np.zeros(D)
+        expect[free] = np.linalg.solve(Qf, bf)
+        np.testing.assert_allclose(np.asarray(res.x), expect, atol=1e-4)
+
+
+class TestBatched:
+    def test_vmap_independent_problems(self):
+        """Each lane has its own target; all must converge independently."""
+        B, D = 16, 5
+        rng = np.random.default_rng(2)
+        targets = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+
+        def fit_one(x0, target):
+            return minimize(lambda x: jnp.sum((x - target) ** 2) * 0.5, x0)
+
+        res = jax.vmap(fit_one)(jnp.zeros((B, D)), targets)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(targets), atol=1e-4)
+        assert bool(res.converged.all())
+
+    def test_vmap_rosenbrock_mixed_starts(self):
+        B = 8
+        rng = np.random.default_rng(3)
+        x0 = jnp.asarray(rng.uniform(-1.5, 1.5, size=(B, 4)), jnp.float32)
+        cfg = LBFGSConfig(max_iters=300, ftol=0.0, gtol=1e-5)
+        res = jax.vmap(lambda x: minimize(rosenbrock, x, cfg=cfg))(x0)
+        # L-BFGS is a local optimizer: every lane must reach a stationary
+        # point (4D Rosenbrock has a local min ~3.70 near (-1,1,1,1) besides
+        # the global min 0 at ones).
+        grad_norms = np.asarray(
+            jax.vmap(lambda x: jnp.max(jnp.abs(jax.grad(rosenbrock)(x))))(res.x)
+        )
+        assert grad_norms.max() < 1e-3, grad_norms
+        assert bool(res.converged.all())
+
+    def test_jit_compiles_once_and_runs(self):
+        cfg = LBFGSConfig(max_iters=50)
+        fit = jax.jit(
+            jax.vmap(lambda x, t: minimize(
+                lambda z: jnp.sum((z - t) ** 2), x, cfg=cfg).x)
+        )
+        out = fit(jnp.zeros((4, 3)), jnp.ones((4, 3)) * 2)
+        np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-5)
+
+
+class TestRobustness:
+    def test_nan_objective_stops_cleanly(self):
+        def fun(x):
+            # Goes NaN for x[0] > 1
+            return jnp.where(x[0] > 1.0, jnp.nan, jnp.sum(x**2) - 2 * x[0])
+
+        res = minimize(fun, jnp.zeros(2), cfg=LBFGSConfig(max_iters=50))
+        assert np.isfinite(float(res.f))
+
+    def test_already_converged_start(self):
+        fun = lambda x: jnp.sum(x ** 2)
+        res = minimize(fun, jnp.zeros(3))
+        assert int(res.n_iters) == 0
+        assert bool(res.converged)
