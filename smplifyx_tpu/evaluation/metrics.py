@@ -1,0 +1,101 @@
+"""Alignment + error metrics, batched in JAX.
+
+Capability parity with reference smplifyx/utils.py:540-801:
+  * ProcrustesAlignment (:540-595): similarity transform (s, R, t) minimizing
+    ||sR S1 + t - S2|| via SVD, with the det-sign fix;
+  * ScaleAlignment (:729-772): scale+translation only;
+  * PelvisAlignment (:650-668): subtract the mean of the hip joints;
+  * mpjpe / vertex_to_vertex_error (:597-614): per-point euclidean errors;
+  * point_fscore (:616-648): precision/recall/F-score at a distance
+    threshold (the reference's open3d point-cloud distance becomes an exact
+    brute-force nearest-neighbor — correct for the mesh sizes involved);
+  * the duplicate-definition quirk (:699 vs :774, later wins): the
+    "ProcrustesAlignmentMPJPE" used by eval.py computes V2V after alignment,
+    which is what `procrustes_v2v` provides.
+
+All functions accept [N, 3] or batched [B, N, 3] input.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _batched(fn):
+    """Promote an [N,3]x[N,3] function to optionally accept [B,N,3]."""
+    def wrapper(S1, S2, *args, **kwargs):
+        S1 = jnp.asarray(S1)
+        S2 = jnp.asarray(S2)
+        if S1.ndim == 3:
+            return jax.vmap(lambda a, b: fn(a, b, *args, **kwargs))(S1, S2)
+        return fn(S1, S2, *args, **kwargs)
+    return wrapper
+
+
+@_batched
+def procrustes_align(S1: jax.Array, S2: jax.Array) -> jax.Array:
+    """Similarity-align S1 [N,3] onto S2 [N,3]; returns transformed S1."""
+    mu1 = S1.mean(axis=0, keepdims=True)
+    mu2 = S2.mean(axis=0, keepdims=True)
+    X1 = S1 - mu1
+    X2 = S2 - mu2
+    var1 = jnp.sum(X1**2)
+    K = X1.T @ X2  # [3, 3]
+    U, s, Vh = jnp.linalg.svd(K)
+    V = Vh.T
+    Z = jnp.eye(3, dtype=S1.dtype)
+    det = jnp.linalg.det(U @ V.T)
+    Z = Z.at[-1, -1].set(jnp.sign(det))
+    R = V @ Z @ U.T
+    scale = jnp.trace(R @ K.T) / jnp.maximum(var1, 1e-12)
+    t = mu2 - scale * (mu1 @ R.T)
+    return scale * (S1 @ R.T) + t
+
+
+@_batched
+def scale_align(S1: jax.Array, S2: jax.Array) -> jax.Array:
+    """Scale+translate S1 to match S2's variance and centroid."""
+    mu1 = S1.mean(axis=0, keepdims=True)
+    mu2 = S2.mean(axis=0, keepdims=True)
+    var1 = jnp.sum((S1 - mu1) ** 2)
+    var2 = jnp.sum((S2 - mu2) ** 2)
+    scale = jnp.sqrt(var2 / jnp.maximum(var1, 1e-12))
+    return scale * S1 + (mu2 - scale * mu1)
+
+
+def pelvis_align(joints: jax.Array, hips_idxs=(2, 3)) -> jax.Array:
+    """Subtract the hip-mean ('pelvis') from [.., N, 3] joints."""
+    idx = jnp.asarray(hips_idxs)
+    pelvis = joints[..., idx, :].mean(axis=-2, keepdims=True)
+    return joints - pelvis
+
+
+def mpjpe(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    """Per-point euclidean error [.., N]."""
+    return jnp.sqrt(jnp.sum((pred - gt) ** 2, axis=-1))
+
+
+v2v_error = mpjpe  # identical computation on vertices
+
+
+def procrustes_v2v(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    """Procrustes-aligned per-point error (the eval.py metric)."""
+    aligned = procrustes_align(pred, gt)
+    return mpjpe(aligned, gt)
+
+
+def pelvis_mpjpe(pred: jax.Array, gt: jax.Array, hips_idxs=(2, 3)) -> jax.Array:
+    return mpjpe(pelvis_align(pred, hips_idxs), pelvis_align(gt, hips_idxs))
+
+
+def point_fscore(pred: jax.Array, gt: jax.Array, thresh: float) -> dict:
+    """F-score at `thresh` between two point sets [N,3]/[M,3] (exact NN)."""
+    d2 = jnp.sum((pred[:, None, :] - gt[None, :, :]) ** 2, axis=-1)
+    pred_to_gt = jnp.sqrt(jnp.min(d2, axis=1))
+    gt_to_pred = jnp.sqrt(jnp.min(d2, axis=0))
+    recall = jnp.mean(pred_to_gt < thresh)
+    precision = jnp.mean(gt_to_pred < thresh)
+    denom = recall + precision
+    fscore = jnp.where(denom > 0, 2 * recall * precision / jnp.maximum(denom, 1e-12), 0.0)
+    return {"fscore": fscore, "precision": precision, "recall": recall}

@@ -101,6 +101,8 @@ class _LSState(NamedTuple):
     best_t: jax.Array
     best_f: jax.Array
     best_g: jax.Array
+    # zoom "insufficient progress" latch (stateful bisection safeguard)
+    insuf: jax.Array
 
 
 def _strong_wolfe(value_grad_fn, x, t_init, d, f0, g0, gtd0, cfg: LBFGSConfig):
@@ -123,7 +125,12 @@ def _strong_wolfe(value_grad_fn, x, t_init, d, f0, g0, gtd0, cfg: LBFGSConfig):
 
     def classify_bracket(s: _LSState) -> _LSState:
         """Current point (s.t, evaluated) drives the bracketing automaton."""
-        cond_hi = (s.f_t > armijo_ref(s.t)) | ((s.it > 1) & (s.f_t >= s.f_prev))
+        # A non-finite trial value counts as "too far": bracket and shrink.
+        cond_hi = (
+            (s.f_t > armijo_ref(s.t))
+            | ((s.it > 1) & (s.f_t >= s.f_prev))
+            | ~jnp.isfinite(s.f_t)
+        )
         cond_done = (~cond_hi) & (jnp.abs(s.gtd_t) <= wolfe_curv)
         cond_swap = (~cond_hi) & (~cond_done) & (s.gtd_t >= 0)
         to_zoom = cond_hi | cond_swap
@@ -167,7 +174,9 @@ def _strong_wolfe(value_grad_fn, x, t_init, d, f0, g0, gtd0, cfg: LBFGSConfig):
 
     def classify_zoom(s: _LSState) -> _LSState:
         """Current point (s.t, evaluated, inside bracket) updates the bracket."""
-        cond_hi = (s.f_t > armijo_ref(s.t)) | (s.f_t >= s.f_lo)
+        cond_hi = (
+            (s.f_t > armijo_ref(s.t)) | (s.f_t >= s.f_lo) | ~jnp.isfinite(s.f_t)
+        )
         cond_done = (~cond_hi) & (jnp.abs(s.gtd_t) <= wolfe_curv)
         flip = (~cond_hi) & (~cond_done) & (s.gtd_t * (s.t_hi - s.t_lo) >= 0)
 
@@ -188,7 +197,14 @@ def _strong_wolfe(value_grad_fn, x, t_init, d, f0, g0, gtd0, cfg: LBFGSConfig):
             t_hi=t_hi, f_hi=f_hi, gtd_hi=gtd_hi,
         )
 
-    def zoom_trial(s: _LSState) -> jax.Array:
+    def zoom_trial(s: _LSState) -> tuple[jax.Array, jax.Array]:
+        """Pick the next zoom trial point; returns (t_try, insuf_latch).
+
+        Stateful safeguard: a cubic step hugging a bracket endpoint is
+        allowed once (it is often the right move when one endpoint's value
+        is enormous); only on a *repeat* is it clamped `eps` inside the
+        bracket.  A plain always-bisect rule stalls on stiff energies.
+        """
         lo_b = jnp.minimum(s.t_lo, s.t_hi)
         hi_b = jnp.maximum(s.t_lo, s.t_hi)
         eps = 0.1 * (hi_b - lo_b)
@@ -196,7 +212,15 @@ def _strong_wolfe(value_grad_fn, x, t_init, d, f0, g0, gtd0, cfg: LBFGSConfig):
             s.t_lo, s.f_lo, s.gtd_lo, s.t_hi, s.f_hi, s.gtd_hi, lo_b, hi_b
         )
         too_close = jnp.minimum(hi_b - t_try, t_try - lo_b) < eps
-        return jnp.where(too_close, 0.5 * (lo_b + hi_b), t_try)
+        at_bound = (t_try >= hi_b) | (t_try <= lo_b)
+        clamp = too_close & (s.insuf | at_bound)
+        clamped = jnp.where(
+            jnp.abs(t_try - hi_b) < jnp.abs(t_try - lo_b),
+            hi_b - eps, lo_b + eps,
+        )
+        t_out = jnp.where(clamp, clamped, t_try)
+        insuf_next = too_close & ~clamp
+        return t_out, insuf_next
 
     # ---- initial evaluation at t_init
     f_t, g_t, gtd_t = phi(t_init)
@@ -208,8 +232,9 @@ def _strong_wolfe(value_grad_fn, x, t_init, d, f0, g0, gtd0, cfg: LBFGSConfig):
         t_lo=zero, f_lo=f0, g_lo=g0, gtd_lo=gtd0,
         t_hi=t_init, f_hi=f_t, gtd_hi=gtd_t,
         best_t=jnp.where(f_t < f0, t_init, zero),
-        best_f=jnp.minimum(f_t, f0),
+        best_f=jnp.where(f_t < f0, f_t, f0),  # NaN-safe (NaN < x is False)
         best_g=jnp.where(f_t < f0, g_t, g0),
+        insuf=jnp.asarray(False),
     )
     s0 = classify_bracket(s0)
 
@@ -218,7 +243,9 @@ def _strong_wolfe(value_grad_fn, x, t_init, d, f0, g0, gtd0, cfg: LBFGSConfig):
 
     def body(s: _LSState) -> _LSState:
         in_zoom = s.phase == _ZOOM
-        t_try = jnp.where(in_zoom, zoom_trial(s), s.t)
+        t_zoom, insuf_next = zoom_trial(s)
+        t_try = jnp.where(in_zoom, t_zoom, s.t)
+        s = s._replace(insuf=jnp.where(in_zoom, insuf_next, s.insuf))
         f_t, g_t, gtd_t = phi(t_try)
         better = f_t < s.best_f
         s = s._replace(
@@ -354,6 +381,13 @@ def minimize(
         ys = jnp.vdot(y_vec, s_vec)
         push = ys > 1e-10
 
+        # A zero-progress line search with a stale curvature history is not
+        # convergence — wipe the history and retry from steepest descent;
+        # only a failure from a fresh history means we are truly stuck.
+        ls_failed = t == 0.0
+        retry = ls_failed & (s.n_hist > 0)
+        push = push & ~ls_failed
+
         S_hist = jnp.where(
             push, jnp.concatenate([s.S_hist[1:], s_vec[None]], axis=0), s.S_hist
         )
@@ -365,7 +399,9 @@ def minimize(
             jnp.concatenate([s.rho[1:], (1.0 / jnp.maximum(ys, 1e-20))[None]]),
             s.rho,
         )
-        n_hist = jnp.where(push, jnp.minimum(s.n_hist + 1, m), s.n_hist)
+        n_hist = jnp.where(
+            retry, 0, jnp.where(push, jnp.minimum(s.n_hist + 1, m), s.n_hist)
+        )
 
         # Termination (reference FittingMonitor semantics).
         non_finite = ~jnp.isfinite(f_new)
@@ -375,7 +411,7 @@ def minimize(
         small_f = rel <= cfg.ftol
         small_g = jnp.max(jnp.abs(g_new)) <= cfg.gtol
         small_step = jnp.max(jnp.abs(s_vec)) <= cfg.tol_change
-        conv = small_f | small_g | small_step
+        conv = (small_f | small_g | small_step) & ~retry
 
         # On a non-finite eval keep the previous iterate.
         x_out = jnp.where(non_finite, s.x, x_new)

@@ -1,0 +1,194 @@
+"""The staged fitting pipeline: camera init -> (optional dual orientation) ->
+scanned body stages, all inside one jit-compiled program over a frame batch.
+
+Reference counterpart: fit_single_frame (smplifyx/fit_single_frame.py:59-677),
+re-architected for TPU:
+
+  * the whole batch of frames is fitted simultaneously — every reference
+    Python loop becomes either a vmap (frames), a lax.scan (stages), or a
+    batch doubling (the 180-degree dual-orientation retry, reference
+    :527-538/:662-668, becomes argmin-selection over a [2B] batch);
+  * per-frame early stopping lives inside the vmapped L-BFGS while_loop, so
+    there are zero host synchronizations between the first and last
+    iteration of a fit (the reference syncs every outer iteration,
+    fitting.py:186-192).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from smplifyx_tpu.fitting.energy import (
+    FrameData,
+    StageWeights,
+    camera_init_energy,
+    guess_camera_depth,
+    smplify_energy,
+)
+from smplifyx_tpu.fitting.lbfgs import LBFGSConfig, minimize
+from smplifyx_tpu.fitting.params import (
+    FitSettings,
+    body_params_from_flat,
+    body_stage_mask,
+    camera_stage_mask,
+    unpack,
+    pack,
+)
+from smplifyx_tpu.models.bodymodel import SMPLXModel
+from smplifyx_tpu.models.forward import smplx_forward
+from smplifyx_tpu.ops.rotation import flip_global_orient_y
+
+
+@struct.dataclass
+class FitOptions:
+    """Static pipeline options."""
+
+    lbfgs: LBFGSConfig = struct.field(default_factory=LBFGSConfig)
+    camera_lbfgs: LBFGSConfig = struct.field(default_factory=LBFGSConfig)
+    try_both_orient: bool = struct.field(pytree_node=False, default=False)
+    side_view_thsh: float = struct.field(pytree_node=False, default=25.0)
+    left_shoulder_idx: int = struct.field(pytree_node=False, default=2)
+    right_shoulder_idx: int = struct.field(pytree_node=False, default=5)
+    use_camera_prior: bool = struct.field(pytree_node=False, default=False)
+
+
+class FitResult(struct.PyTreeNode):
+    x: jax.Array             # [B, D] final flat params (winning orientation)
+    loss: jax.Array          # [B] final total energy
+    camera_loss: jax.Array   # [B] stage-0 final energy
+    flipped: jax.Array       # [B] bool: the 180-degree orientation won
+    stage_losses: jax.Array  # [S, B] energy after each body stage
+
+
+def fit_batch(
+    model: SMPLXModel,
+    settings: FitSettings,
+    options: FitOptions,
+    stage_weights: StageWeights,      # stacked: every leaf [S, ...]
+    frames: FrameData,                # batched: every leaf [B, ...]
+    x0: jax.Array,                    # [B, D] initial flat params
+    decode_body: Callable[[jax.Array], jax.Array],
+    joint_map: jax.Array,
+    gmm=None,
+    edge_idxs: Optional[jax.Array] = None,
+    collision_fn: Optional[Callable] = None,
+) -> FitResult:
+    """Fit a batch of frames.  Fully jit-able; vmap/pjit-friendly.
+
+    `decode_body` maps [*, body_dim] -> [*, 63] (identity reshape or VPoser).
+    `stage_weights` leaves are stacked along a leading stage axis S.
+    """
+    B, D = x0.shape
+    num_stages = jax.tree_util.tree_leaves(stage_weights)[0].shape[0]
+
+    cam_mask = camera_stage_mask(settings)
+    body_mask = body_stage_mask(settings)
+
+    # ---- camera translation init (guess_init path) --------------------
+    if not options.use_camera_prior:
+        assert edge_idxs is not None
+        init_t = jax.vmap(
+            lambda x, f: guess_camera_depth(
+                settings, model, x, f.gt_joints, edge_idxs, f.focal[0],
+                decode_body, joint_map,
+            )
+        )(x0, frames)
+        frames = frames.replace(trans_estimation=init_t)
+        seg = unpack(settings, x0)
+        seg["cam_t"] = init_t
+        x0 = pack(settings, **seg)
+
+    # ---- stage 0: camera ----------------------------------------------
+    def cam_fit_one(x, frame):
+        fun = lambda xx: camera_init_energy(
+            xx, settings, model, frame, decode_body, joint_map
+        )
+        return minimize(fun, x, mask=cam_mask, cfg=options.camera_lbfgs)
+
+    cam_res = jax.vmap(cam_fit_one)(x0, frames)
+    x_cam = cam_res.x
+    camera_loss = cam_res.f
+
+    # ---- optional dual orientation: double the batch -------------------
+    if options.try_both_orient:
+        seg = unpack(settings, x_cam)
+        flipped_orient = flip_global_orient_y(seg["global_orient"])
+        seg_f = dict(seg)
+        seg_f["global_orient"] = flipped_orient
+        x_flip = pack(settings, **seg_f)
+        xs = jnp.concatenate([x_cam, x_flip], axis=0)          # [2B, D]
+        frames2 = jax.tree_util.tree_map(
+            lambda a: jnp.concatenate([a, a], axis=0), frames
+        )
+    else:
+        xs = x_cam
+        frames2 = frames
+
+    # ---- body stages: scan over the weight schedule --------------------
+    def stage_step(x, scan_in):
+        stage_idx, w = scan_in
+
+        def fit_one(xx, frame):
+            fun = lambda z: smplify_energy(
+                z, settings, model, frame, w, stage_idx, num_stages,
+                decode_body, joint_map, gmm=gmm, collision_fn=collision_fn,
+            )
+            return minimize(fun, xx, mask=body_mask, cfg=options.lbfgs)
+
+        res = jax.vmap(fit_one)(x, frames2)
+        return res.x, res.f
+
+    x_final, stage_losses = jax.lax.scan(
+        stage_step, xs, (jnp.arange(num_stages), stage_weights)
+    )
+    final_loss = stage_losses[-1]
+
+    # ---- orientation selection -----------------------------------------
+    if options.try_both_orient:
+        loss_orig, loss_flip = final_loss[:B], final_loss[B:]
+        ls = options.left_shoulder_idx
+        rs = options.right_shoulder_idx
+        shoulder_dist = jnp.linalg.norm(
+            frames.gt_joints[:, ls] - frames.gt_joints[:, rs], axis=-1
+        )
+        eligible = shoulder_dist < options.side_view_thsh
+        take_flip = eligible & (loss_flip < loss_orig)
+        x_out = jnp.where(take_flip[:, None], x_final[B:], x_final[:B])
+        loss_out = jnp.where(take_flip, loss_flip, loss_orig)
+        stage_losses_out = jnp.where(
+            take_flip[None, :], stage_losses[:, B:], stage_losses[:, :B]
+        )
+    else:
+        take_flip = jnp.zeros((B,), bool)
+        x_out, loss_out, stage_losses_out = x_final, final_loss, stage_losses
+
+    return FitResult(
+        x=x_out, loss=loss_out, camera_loss=camera_loss,
+        flipped=take_flip, stage_losses=stage_losses_out,
+    )
+
+
+def recover_outputs(
+    model: SMPLXModel,
+    settings: FitSettings,
+    x: jax.Array,
+    decode_body: Callable[[jax.Array], jax.Array],
+    joint_map: Optional[jax.Array] = None,
+):
+    """Final forward pass on fitted params: (vertices, joints, BodyParams,
+    cam_t, decoded body pose)."""
+    params, cam_t, body_raw = body_params_from_flat(settings, x, decode_body)
+    out = smplx_forward(
+        model, params,
+        use_pca=settings.use_pca,
+        flat_hand_mean=settings.flat_hand_mean,
+        use_face_contour=settings.use_face_contour,
+        joint_map=joint_map,
+        return_verts=True,
+    )
+    return out, params, cam_t

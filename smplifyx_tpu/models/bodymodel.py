@@ -241,8 +241,16 @@ def synthetic_model(
     lmk_faces = rng.integers(0, num_faces, size=(51,)).astype(np.int32)
     lmk_bary = rng.dirichlet(np.ones(3), size=(51,)).astype(np.float32)
     L = 79  # yaw buckets, same as the real table
-    dyn_faces = rng.integers(0, num_faces, size=(L, 17)).astype(np.int32)
-    dyn_bary = rng.dirichlet(np.ones(3), size=(L, 17)).astype(np.float32)
+    # The real SMPL-X contour tables vary *smoothly* across yaw buckets; a
+    # random per-bucket table would make the fitting energy discontinuous in
+    # head yaw (bucket switches would teleport 17 landmarks), which stalls
+    # any line search.  Use one table tiled over all buckets.
+    dyn_faces = np.tile(
+        rng.integers(0, num_faces, size=(1, 17)).astype(np.int32), (L, 1)
+    )
+    dyn_bary = np.tile(
+        rng.dirichlet(np.ones(3), size=(1, 17)).astype(np.float32), (L, 1, 1)
+    )
 
     return SMPLXModel(
         v_template=jnp.asarray(v_template, dtype=dtype),

@@ -59,6 +59,9 @@ def project_points(camera: CameraParams, points: jax.Array) -> jax.Array:
     p_cam = jnp.einsum("...ij,...nj->...ni", camera.rotation, points)
     p_cam = p_cam + camera.translation[..., None, :]
     z = p_cam[..., 2:3]
+    # Keep the divide finite when an optimizer probe pushes a point onto the
+    # camera plane; the sign is preserved so the gradient still repels.
+    z = jnp.where(jnp.abs(z) < 1e-6, jnp.where(z < 0, -1e-6, 1e-6), z)
     uv = p_cam[..., :2] / z
     return uv * camera.focal[..., None, :] + camera.center[..., None, :]
 

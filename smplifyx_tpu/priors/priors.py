@@ -111,5 +111,7 @@ def angle_prior(pose: jax.Array, with_global_pose: bool = False) -> jax.Array:
     """
     idxs = ANGLE_PRIOR_IDXS_FULL - (0 if with_global_pose else 3)
     signs = jnp.asarray(ANGLE_PRIOR_SIGNS, dtype=pose.dtype)
-    vals = pose[..., idxs] * signs
+    # Clamp the exponent so wild line-search probes can't overflow float32
+    # (exp(40)^2 ~ 5e34 is still finite and steeply increasing).
+    vals = jnp.clip(pose[..., idxs] * signs, -40.0, 40.0)
     return jnp.sum(jnp.exp(vals) ** 2, axis=-1)
