@@ -1,0 +1,144 @@
+"""Benchmark: batched SMPL-X fitting throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "frames_per_sec_per_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": N}
+
+Protocol: full-size SMPL-X geometry (10475 vertices, synthetic weights — the
+FLOP/byte profile is identical to the licensed artifact), a realistic staged
+fit per frame (camera stage + 3 body stages, strong-Wolfe L-BFGS with the
+reference's tolerances and a 60-iteration/stage cap, use_face_contour,
+conf-weighted data term), batch of frames fitted simultaneously under one
+jit.  Timing excludes compilation (first call) and measures steady-state
+wall-clock over repeated batches.
+
+Baseline: the reference fits one image in 10-30 s on a Colab-class GPU
+(BASELINE.md) => 0.05 frames/s taking the optimistic 20 s midpoint.
+vs_baseline = ours / 0.05.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+BASELINE_FPS = 0.05  # reference: ~20 s/frame (BASELINE.md, README table)
+
+
+def build_problem(B: int, V: int = 10475):
+    import jax.numpy as jnp
+
+    from smplifyx_tpu.fitting.energy import FrameData
+    from smplifyx_tpu.fitting.params import FitSettings, pack
+    from smplifyx_tpu.models.bodymodel import synthetic_model
+    from smplifyx_tpu.models.forward import BodyParams, smplx_forward
+    from smplifyx_tpu.models.joint_mapping import model_to_annotation
+    from smplifyx_tpu.ops.camera import CameraParams, project_points
+
+    model = synthetic_model(num_verts=V, seed=0)
+    settings = FitSettings(use_face_contour=True)
+    joint_map = jnp.asarray(
+        model_to_annotation("smplx", True, True, True, "coco25")
+    )
+    K = joint_map.shape[0]
+
+    rng = np.random.default_rng(0)
+    gt = BodyParams.zeros(B).replace(
+        body_pose=jnp.asarray(rng.normal(0, 0.12, (B, 63)), jnp.float32),
+        betas=jnp.asarray(rng.normal(0, 0.5, (B, 10)), jnp.float32),
+        global_orient=jnp.asarray(rng.normal(0, 0.1, (B, 3)), jnp.float32),
+    )
+    cam_t = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.05, (B, 2)), rng.uniform(3.5, 5.5, (B, 1))], -1
+        ),
+        jnp.float32,
+    )
+    out = smplx_forward(model, gt, joint_map=joint_map)
+    cam = CameraParams(
+        rotation=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)), translation=cam_t,
+        focal=jnp.full((B, 2), 1498.0),
+        center=jnp.broadcast_to(jnp.asarray([400.0, 300.0]), (B, 2)),
+    )
+    gt2d = project_points(cam, out.joints)
+    conf = jnp.asarray(rng.uniform(0.3, 1.0, (B, K)), jnp.float32)
+
+    frames = FrameData(
+        gt_joints=gt2d, conf=conf, joint_weights=jnp.ones((B, K)),
+        focal=jnp.full((B, 2), 1498.0),
+        center=jnp.broadcast_to(jnp.asarray([400.0, 300.0]), (B, 2)),
+        data_weight=jnp.full((B,), 1000.0 / 600),
+        init_joints_mask=jnp.asarray(
+            np.isin(np.arange(K), [9, 12, 2, 5]).astype(np.float32)[None]
+            .repeat(B, 0)
+        ),
+        trans_estimation=jnp.zeros((B, 3)),
+        depth_loss_weight=jnp.full((B,), 1e2),
+        regression_body=jnp.zeros((B, 63)),
+    )
+    x0 = pack(settings, cam_t=jnp.zeros((B, 3)),
+              global_orient=jnp.zeros((B, 3)), body=jnp.zeros((B, 63)))
+    return model, settings, frames, x0, joint_map
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from smplifyx_tpu.fitting.lbfgs import LBFGSConfig
+    from smplifyx_tpu.fitting.pipeline import FitOptions, fit_batch
+    from smplifyx_tpu.fitting.stages import build_stage_schedule
+
+    B = 64
+    model, settings, frames, x0, joint_map = build_problem(B)
+
+    schedule = build_stage_schedule(
+        body_pose_prior_weights=[4.04e2, 57.4, 4.78],
+        shape_weights=[1e2, 1e1, 0.5e1],
+        expr_weights=[1e2, 1e1, 0.5e1],
+        hand_pose_prior_weights=[1e2, 1e1, 0.5e1],
+        hand_joints_weights=[0.0, 0.0, 1.0],
+        face_joints_weights=[0.0, 0.0, 1.0],
+    )
+    # Reference budget: up to 30x30 iterations/stage with ftol/gtol 1e-9
+    # early exits (cfg_files/*.yaml); 60/stage matches its typical converged
+    # iteration counts.
+    options = FitOptions(
+        lbfgs=LBFGSConfig(max_iters=60, history=16, ftol=1e-9, gtol=1e-9),
+        camera_lbfgs=LBFGSConfig(max_iters=30, history=8),
+    )
+
+    fit = jax.jit(
+        lambda frames, x0: fit_batch(
+            model, settings, options, schedule, frames, x0,
+            lambda b: b, joint_map,
+            edge_idxs=jnp.asarray([[5, 12], [2, 9]]),
+        )
+    )
+
+    # Compile + warmup.
+    res = fit(frames, x0)
+    jax.block_until_ready(res.loss)
+
+    # Steady state.
+    n_rounds = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rounds):
+        res = fit(frames, x0)
+        jax.block_until_ready(res.loss)
+    dt = (time.perf_counter() - t0) / n_rounds
+
+    fps = B / dt
+    print(json.dumps({
+        "metric": "frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -77,7 +77,7 @@ class SMPLXModel:
     posedirs: jax.Array          # [P, V * 3]
     J_regressor: jax.Array       # [J, V]
     lbs_weights: jax.Array       # [V, J]
-    parents: jax.Array = struct.field(pytree_node=False)  # np [J] static tree
+    parents: tuple = struct.field(pytree_node=False)  # tuple[int] static tree
     faces: jax.Array             # [F, 3] int32
     left_hand_components: jax.Array   # [C, 45]
     right_hand_components: jax.Array  # [C, 45]
@@ -91,7 +91,7 @@ class SMPLXModel:
     # static (non-pytree) metadata
     num_verts: int = struct.field(pytree_node=False)
     num_joints: int = struct.field(pytree_node=False)
-    neck_kin_chain: Any = struct.field(pytree_node=False)  # np [n] int
+    neck_kin_chain: tuple = struct.field(pytree_node=False)  # tuple[int]
 
     @property
     def num_betas(self) -> int:
@@ -106,7 +106,7 @@ class SMPLXModel:
         return self.left_hand_components.shape[0]
 
 
-def _neck_kin_chain(parents: np.ndarray, head_idx: int = 15) -> np.ndarray:
+def _neck_kin_chain(parents, head_idx: int = 15) -> tuple:
     """Ancestor chain from the head joint to the root, used to aggregate the
     head yaw for dynamic (contour) landmark selection."""
     chain = []
@@ -114,7 +114,7 @@ def _neck_kin_chain(parents: np.ndarray, head_idx: int = 15) -> np.ndarray:
     while idx != -1 and len(chain) < len(parents):
         chain.append(idx)
         idx = int(parents[idx])
-    return np.asarray(chain, dtype=np.int32)
+    return tuple(chain)
 
 
 def load_smplx_npz(
@@ -151,8 +151,9 @@ def load_smplx_npz(
     V = posedirs.shape[0]
     posedirs = posedirs.reshape(V * 3, -1).T  # [P, V*3]
 
-    parents = np.asarray(d["kintree_table"][0], dtype=np.int32).copy()
-    parents[0] = -1
+    parents_np = np.asarray(d["kintree_table"][0], dtype=np.int64).copy()
+    parents_np[0] = -1
+    parents = tuple(int(v) for v in parents_np)
 
     def arr(key, np_dtype=np.float32):
         return np.asarray(d[key], dtype=np_dtype)
@@ -205,7 +206,7 @@ def synthetic_model(
     rng = np.random.default_rng(seed)
     V = num_verts
     J = NUM_JOINTS
-    parents = SMPLX_PARENTS.copy()
+    parents = tuple(int(v) for v in SMPLX_PARENTS)
 
     v_template = rng.normal(scale=0.25, size=(V, 3)).astype(np.float32)
     v_template[:, 1] *= 2.0  # taller than wide, human-ish aspect
