@@ -111,23 +111,27 @@ def main():
         camera_lbfgs=LBFGSConfig(max_iters=30, history=8),
     )
 
+    # The model MUST be a jit argument: closing over its ~60 MB of arrays
+    # turns them into inline HLO constants, which inflates compile time by
+    # >20x (307 s vs 14 s measured on v5e via the axon tunnel).
     fit = jax.jit(
-        lambda frames, x0: fit_batch(
+        lambda model, frames, x0: fit_batch(
             model, settings, options, schedule, frames, x0,
             lambda b: b, joint_map,
             edge_idxs=jnp.asarray([[5, 12], [2, 9]]),
         )
     )
 
+    model = jax.device_put(model)
     # Compile + warmup.
-    res = fit(frames, x0)
+    res = fit(model, frames, x0)
     jax.block_until_ready(res.loss)
 
     # Steady state.
     n_rounds = 3
     t0 = time.perf_counter()
     for _ in range(n_rounds):
-        res = fit(frames, x0)
+        res = fit(model, frames, x0)
         jax.block_until_ready(res.loss)
     dt = (time.perf_counter() - t0) / n_rounds
 

@@ -1,0 +1,272 @@
+"""Application driver: config -> dataset -> batched fit -> result files.
+
+The counterpart of the reference's main.py:51-328 + the host-side parts of
+fit_single_frame, re-architected around batching: instead of a serial
+per-image loop re-creating cameras/optimizers per frame, ALL frames are
+grouped (by gender), assembled into FrameData batches, and fitted by one
+jit-compiled program per group; results are then written per frame.
+
+Preserved reference behaviors (SURVEY.md §7 quirks list):
+  * the output folder is wiped on start (main.py:54-55) and the resolved
+    config is dumped to conf.yaml (:59-61);
+  * only person 0 of each frame is fitted (:245-246);
+  * per-image default focal length sqrt(W^2+H^2) (:212-214);
+  * results are a per-frame pickle of every camera/model parameter plus a
+    vertices PLY when save_vertices is set (fit_single_frame.py:641-677).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import shutil
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from smplifyx_tpu.utils.config import Config, save_config
+
+
+@dataclass
+class AppResult:
+    names: list
+    losses: np.ndarray
+    result_files: list
+    mesh_files: list
+    elapsed_s: float
+    frames_per_sec: float
+
+
+def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
+    """Fit every frame in cfg.data_folder and write results.
+
+    `model` overrides body-model loading (e.g. a synthetic model when the
+    licensed SMPL-X artifacts are unavailable); otherwise
+    {model_folder}/smplx/SMPLX_{GENDER}.npz is loaded per gender.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from smplifyx_tpu.data.keypoints import create_dataset
+    from smplifyx_tpu.data.regressors import (
+        build_regression_prior, load_expose, load_pare, load_pixie,
+    )
+    from smplifyx_tpu.fitting.lbfgs import LBFGSConfig
+    from smplifyx_tpu.fitting.pipeline import FitOptions, fit_batch, recover_outputs
+    from smplifyx_tpu.fitting.prepare import prepare_batch, settings_from_config
+    from smplifyx_tpu.fitting.stages import build_stage_schedule
+    from smplifyx_tpu.models.bodymodel import load_smplx_npz
+    from smplifyx_tpu.models.joint_mapping import (
+        model_to_annotation, SHOULDER_IDXS_BY_FORMAT,
+    )
+    from smplifyx_tpu.ops.collision import load_part_segm, make_collision_fn
+    from smplifyx_tpu.priors.priors import load_gmm_pickle
+    from smplifyx_tpu.utils.io import save_result_pickle, write_ply, write_obj
+    from smplifyx_tpu.fitting.params import unpack
+
+    t_start = time.time()
+
+    # --- output dirs (wipe + conf dump, reference main.py:52-75)
+    out = osp.expandvars(cfg.output_folder)
+    if osp.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    save_config(cfg, osp.join(out, "conf.yaml"))
+    result_dir = osp.join(out, cfg.result_folder)
+    mesh_dir = osp.join(out, cfg.mesh_folder)
+    os.makedirs(result_dir, exist_ok=True)
+    os.makedirs(mesh_dir, exist_ok=True)
+
+    # --- dataset
+    dataset = create_dataset(
+        format=cfg.format, data_folder=cfg.data_folder,
+        img_folder=cfg.img_folder, keyp_folder=cfg.keyp_folder,
+        use_hands=cfg.use_hands, use_face=cfg.use_face,
+        use_face_contour=cfg.use_face_contour,
+        joints_to_ign=cfg.joints_to_ign,
+    )
+    records = list(dataset)
+    if max_frames:
+        records = records[:max_frames]
+    assert records, f"no frames found under {cfg.data_folder}"
+
+    # --- model
+    settings = settings_from_config(cfg)
+    if model is None:
+        if cfg.synthetic_model:
+            from smplifyx_tpu.models.bodymodel import synthetic_model
+
+            model = synthetic_model(
+                num_verts=cfg.synthetic_num_verts,
+                num_betas=cfg.num_betas,
+                num_expression_coeffs=cfg.num_expression_coeffs,
+                num_pca_comps=cfg.num_pca_comps,
+            )
+        else:
+            path = osp.join(
+                cfg.model_folder, "smplx", f"SMPLX_{cfg.gender.upper()}.npz"
+            )
+            model = load_smplx_npz(
+                path, num_betas=cfg.num_betas,
+                num_expression_coeffs=cfg.num_expression_coeffs,
+                num_pca_comps=cfg.num_pca_comps,
+            )
+    model = jax.device_put(model)
+
+    joint_map = jnp.asarray(model_to_annotation(
+        cfg.model_type, cfg.use_hands, cfg.use_face, cfg.use_face_contour,
+        cfg.format,
+    ))
+
+    # --- priors
+    gmm = None
+    if cfg.body_prior_type == "gmm":
+        gmm = load_gmm_pickle(
+            osp.join(cfg.prior_folder, f"gmm_{cfg.num_gaussians:02d}.pkl")
+        )
+    vposer = None
+    decode_body = lambda b: b
+    if cfg.use_vposer:
+        from smplifyx_tpu.models.vposer import load_vposer
+
+        vposer = load_vposer(cfg.vposer_ckpt)
+        decode_body = vposer.decode
+
+    collision_fn = None
+    if cfg.interpenetration:
+        segm = parents = None
+        if cfg.part_segm_fn:
+            segm, parents = load_part_segm(osp.expandvars(cfg.part_segm_fn))
+        collision_fn = make_collision_fn(
+            model.faces, segm=segm, parents=parents,
+            ign_part_pairs=cfg.ign_part_pairs,
+            window=min(cfg.max_collisions, 64),
+            sigma=cfg.df_cone_height,
+            penalize_outside=cfg.penalize_outside,
+        )
+
+    # --- regression priors per frame
+    regression = None
+    if cfg.regression_prior:
+        regression = []
+        for rec in records:
+            H, W = rec.img_size
+            focal = cfg.focal_length or float(np.sqrt(W * W + H * H))
+            expose = pixie = pare = None
+            if cfg.expose_results_directory:
+                expose = load_expose(cfg.expose_results_directory, rec.fn)
+            if cfg.pixie_results_directory:
+                pixie = load_pixie(cfg.pixie_results_directory, rec.fn)
+            if cfg.pare_results_directory:
+                pare = load_pare(cfg.pare_results_directory, rec.fn)
+            regression.append(build_regression_prior(
+                cfg.regression_prior, focal, expose=expose, pixie=pixie,
+                pare=pare, use_camera_prior=cfg.use_camera_prior,
+            ))
+
+    # --- batch assembly + schedule
+    batch = prepare_batch(
+        cfg, records, dataset.get_joint_weights(),
+        regression=regression, vposer=vposer, gmm=gmm,
+    )
+    schedule = build_stage_schedule(
+        cfg.body_pose_prior_weights, cfg.shape_weights, cfg.expr_weights,
+        cfg.hand_pose_prior_weights, cfg.jaw_pose_prior_weights,
+        cfg.hand_joints_weights, cfg.face_joints_weights,
+        cfg.coll_loss_weights,
+    )
+    ls, rs = SHOULDER_IDXS_BY_FORMAT[cfg.format.lower()]
+    # Reference budget: maxiters outer x maxiters inner with ftol/gtol early
+    # exit; one flat budget here.
+    lbfgs_iters = cfg.maxiters * 5
+    options = FitOptions(
+        lbfgs=LBFGSConfig(
+            max_iters=lbfgs_iters, history=cfg.history_size,
+            max_ls=cfg.max_line_search, lr=cfg.lr,
+            ftol=cfg.ftol, gtol=cfg.gtol,
+        ),
+        camera_lbfgs=LBFGSConfig(
+            max_iters=cfg.maxiters * 2, history=8, lr=cfg.lr,
+            ftol=cfg.ftol, gtol=cfg.gtol,
+        ),
+        try_both_orient=True,
+        side_view_thsh=cfg.side_view_thsh,
+        left_shoulder_idx=ls, right_shoulder_idx=rs,
+        use_camera_prior=cfg.use_camera_prior and bool(cfg.regression_prior),
+    )
+    edge_idxs = jnp.asarray(cfg.body_tri_pairs)
+
+    # --- the jit-compiled fit
+    fitted = jax.jit(
+        lambda model, frames, x0: fit_batch(
+            model, settings, options, schedule, frames, x0,
+            decode_body, joint_map, gmm=gmm, edge_idxs=edge_idxs,
+            collision_fn=collision_fn,
+        )
+    )
+    res = fitted(model, batch.frames, jnp.asarray(batch.x0))
+    out_fwd, params, cam_t = recover_outputs(
+        model, settings, res.x, decode_body, joint_map=None
+    )
+    jax.block_until_ready(out_fwd.vertices)
+    elapsed = time.time() - t_start
+
+    # --- write results per real frame
+    losses = np.asarray(res.loss)[: batch.num_real]
+    vertices = np.asarray(out_fwd.vertices)
+    cam_t_np = np.asarray(cam_t)
+    seg = unpack(settings, res.x)
+    decoded_pose = np.asarray(decode_body(seg["body"]))
+    faces_np = np.asarray(model.faces)
+
+    result_files, mesh_files = [], []
+    for i, name in enumerate(batch.names):
+        frame_result_dir = osp.join(result_dir, name)
+        os.makedirs(frame_result_dir, exist_ok=True)
+        H, W = batch.img_sizes[i]
+        pkl_path = osp.join(frame_result_dir, "000.pkl")
+        save_result_pickle(
+            pkl_path,
+            camera_translation=cam_t_np[i],
+            camera_center=np.asarray(batch.frames.center[i]),
+            focal_length=batch.focals[i],
+            H=H, W=W,
+            params={
+                "global_orient": np.asarray(seg["global_orient"][i]),
+                "betas": np.asarray(seg["betas"][i]),
+                "expression": np.asarray(seg["expression"][i]),
+                "jaw_pose": np.asarray(seg["jaw"][i]),
+                "leye_pose": np.asarray(seg["leye"][i]),
+                "reye_pose": np.asarray(seg["reye"][i]),
+                "left_hand_pose": np.asarray(seg["lhand"][i]),
+                "right_hand_pose": np.asarray(seg["rhand"][i]),
+            },
+            body_pose=decoded_pose[i],
+            loss=float(losses[i]),
+        )
+        result_files.append(pkl_path)
+
+        frame_mesh_dir = osp.join(mesh_dir, name)
+        os.makedirs(frame_mesh_dir, exist_ok=True)
+        if cfg.save_meshes:
+            obj_path = osp.join(frame_mesh_dir, "000.obj")
+            write_obj(obj_path, vertices[i], faces_np)
+            mesh_files.append(obj_path)
+        if cfg.save_vertices:
+            write_ply(
+                osp.join(frame_result_dir, "vertices.ply"), vertices[i]
+            )
+
+    if cfg.interactive:
+        print(
+            f"fitted {batch.num_real} frame(s) in {elapsed:.2f}s "
+            f"({batch.num_real / elapsed:.2f} frames/s), "
+            f"losses: {np.round(losses, 2).tolist()}"
+        )
+    return AppResult(
+        names=batch.names, losses=losses,
+        result_files=result_files, mesh_files=mesh_files,
+        elapsed_s=elapsed, frames_per_sec=batch.num_real / elapsed,
+    )

@@ -1,0 +1,212 @@
+"""Configuration system: dataclass + YAML presets + CLI overrides.
+
+Replaces the reference's configargparse setup (smplifyx/cmd_parser.py:27-317,
+~70 flags with YAML config files).  Field names and semantics match the
+reference so its cfg_files port directly; the four shipped presets live in
+cfg/ and mirror the reference's cfg_files/ semantics (stage counts are
+implied by the weight-list lengths, jaw weights are comma-separated
+3-vectors, body_tri_idxs flat list becomes pairs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os.path as osp
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence
+
+import yaml
+
+
+@dataclass
+class Config:
+    # --- data / paths
+    data_folder: str = "data"
+    img_folder: str = "images"
+    keyp_folder: str = "keypoints"
+    output_folder: str = "output"
+    result_folder: str = "results"
+    mesh_folder: str = "meshes"
+    model_folder: str = "models"
+    prior_folder: str = "prior"
+    vposer_ckpt: str = ""
+    part_segm_fn: str = ""
+
+    # --- format / model
+    format: str = "coco25"              # coco25 | halpe | coco_wholebody
+    model_type: str = "smplx"
+    gender: str = "neutral"
+    float_dtype: str = "float32"
+    num_betas: int = 10
+    num_expression_coeffs: int = 10
+    num_pca_comps: int = 12
+    use_pca: bool = True
+    flat_hand_mean: bool = False
+    use_hands: bool = True
+    use_face: bool = True
+    use_face_contour: bool = False
+    joints_to_ign: List[int] = field(default_factory=lambda: [-1])
+
+    # --- priors
+    body_prior_type: str = "l2"          # l2 | gmm | none
+    left_hand_prior_type: str = "l2"
+    right_hand_prior_type: str = "l2"
+    jaw_prior_type: str = "l2"
+    num_gaussians: int = 8
+    use_vposer: bool = False
+    vposer_latent_dim: int = 32
+
+    # --- regression priors
+    regression_prior: Optional[str] = None   # PIXIE | ExPose | PARE | combined
+    pixie_results_directory: Optional[str] = None
+    expose_results_directory: Optional[str] = None
+    pare_results_directory: Optional[str] = None
+    use_camera_prior: bool = False
+
+    # --- energy
+    rho: float = 100.0
+    use_joints_conf: bool = True
+    use_conf_for_camera_init: bool = False
+    confidence_threshold: float = 0.0
+    interpenetration: bool = False
+    df_cone_height: float = 0.5
+    penalize_outside: bool = False
+    max_collisions: int = 8
+    point2plane: bool = False
+    ign_part_pairs: List[str] = field(default_factory=list)
+
+    # --- camera
+    focal_length: Optional[float] = None  # None => sqrt(W^2 + H^2)
+    camera_type: str = "persp"
+    depth_loss_weight: float = 1e2
+    init_joints_idxs: List[int] = field(default_factory=lambda: [9, 12, 2, 5])
+    body_tri_idxs: List[int] = field(default_factory=lambda: [5, 12, 2, 9])
+    side_view_thsh: float = 25.0
+
+    # --- stage weight schedules (list length = number of stages)
+    data_weights: Optional[List[float]] = None  # dead in the reference, kept
+    body_pose_prior_weights: List[float] = field(
+        default_factory=lambda: [404.0, 404.0, 57.4, 4.78]
+    )
+    shape_weights: Optional[List[float]] = None
+    expr_weights: Optional[List[float]] = None
+    hand_pose_prior_weights: Optional[List[float]] = None
+    jaw_pose_prior_weights: Optional[List[Any]] = None
+    hand_joints_weights: Optional[List[float]] = None
+    face_joints_weights: Optional[List[float]] = None
+    coll_loss_weights: Optional[List[float]] = None
+
+    # --- optimizer
+    optim_type: str = "lbfgsls"
+    lr: float = 1.0
+    ftol: float = 1e-9
+    gtol: float = 1e-9
+    maxiters: int = 30
+    history_size: int = 16
+    max_line_search: int = 25
+
+    # --- runtime
+    batch_size: int = 1   # frames fitted simultaneously (no upper limit here)
+    interactive: bool = True
+    visualize: bool = False
+    save_meshes: bool = True
+    save_vertices: bool = False
+    use_gender_classifier: bool = False
+    homogeneous_ckpt: str = ""
+    max_persons: int = 3
+    degrees: List[float] = field(default_factory=lambda: [0, 90, 180, 270])
+    # Use a synthetic body model instead of loading SMPLX_{GENDER}.npz —
+    # lets the full pipeline run where the licensed artifacts are absent.
+    synthetic_model: bool = False
+    synthetic_num_verts: int = 10475
+
+    @property
+    def num_stages(self) -> int:
+        return len(self.body_pose_prior_weights)
+
+    @property
+    def body_tri_pairs(self) -> list[tuple[int, int]]:
+        """Flat index list -> pairs (reference cmd_parser.py:307-316)."""
+        flat = self.body_tri_idxs
+        assert len(flat) % 2 == 0, (
+            "Number of body_tri_idxs must be divisible by 2, got "
+            f"{len(flat)}"
+        )
+        return [(flat[i], flat[i + 1]) for i in range(0, len(flat), 2)]
+
+    def validate(self) -> "Config":
+        S = self.num_stages
+        for name in ("data_weights", "shape_weights", "expr_weights",
+                     "hand_pose_prior_weights", "jaw_pose_prior_weights",
+                     "hand_joints_weights", "face_joints_weights",
+                     "coll_loss_weights"):
+            v = getattr(self, name)
+            if v is not None and len(v) != S:
+                raise ValueError(
+                    f"{name} has {len(v)} entries but there are {S} stages "
+                    "(stage count is the length of body_pose_prior_weights)"
+                )
+        if self.format.lower() not in ("coco25", "halpe", "coco_wholebody"):
+            raise ValueError(f"Unknown format {self.format}")
+        return self
+
+
+def load_config(path: Optional[str] = None, **overrides) -> Config:
+    """Load a YAML preset, apply keyword overrides, validate."""
+    values: dict = {}
+    if path is not None:
+        with open(osp.expandvars(path)) as f:
+            raw = yaml.safe_load(f) or {}
+        known = {f.name for f in dataclasses.fields(Config)}
+        values = {k: v for k, v in raw.items() if k in known}
+        unknown = set(raw) - known
+        if unknown:
+            import warnings
+
+            warnings.warn(f"ignoring unknown config keys: {sorted(unknown)}")
+    values.update(overrides)
+    return Config(**values).validate()
+
+
+def save_config(cfg: Config, path: str) -> None:
+    """Dump the resolved config (reference conf.yaml dump, main.py:59-61)."""
+    with open(path, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f)
+
+
+def parse_cli(argv: Optional[Sequence[str]] = None) -> Config:
+    """--config preset.yaml plus --key value overrides for every field."""
+    parser = argparse.ArgumentParser(
+        prog="smplifyx-tpu", description="TPU-native batched SMPLify-X fitting"
+    )
+    parser.add_argument("-c", "--config", required=False, default=None,
+                        help="YAML config preset")
+    known = {f.name: f for f in dataclasses.fields(Config)}
+    for name, fld in known.items():
+        parser.add_argument(f"--{name}", default=None, nargs="*"
+                            if "List" in str(fld.type) else None)
+    args = vars(parser.parse_args(argv))
+    config_path = args.pop("config")
+
+    overrides = {}
+    for k, v in args.items():
+        if v is None:
+            continue
+        fld = known[k]
+        t = str(fld.type)
+        if "List[float]" in t:
+            overrides[k] = [float(x) for x in v]
+        elif "List[int]" in t:
+            overrides[k] = [int(x) for x in v]
+        elif "List" in t:
+            overrides[k] = list(v)
+        elif "bool" in t:
+            overrides[k] = str(v).lower() in ("1", "true", "yes")
+        elif "int" in t:
+            overrides[k] = int(v)
+        elif "float" in t:
+            overrides[k] = float(v)
+        else:
+            overrides[k] = v
+    return load_config(config_path, **overrides)

@@ -1,0 +1,86 @@
+"""End-to-end application test on the reference demo fixtures (real keypoint
+JSONs + ExPose/PIXIE regression results) with a synthetic body model."""
+
+import os
+import os.path as osp
+import pickle
+
+import numpy as np
+import pytest
+
+from smplifyx_tpu.app import run
+from smplifyx_tpu.models.bodymodel import synthetic_model
+from smplifyx_tpu.utils.config import load_config
+from smplifyx_tpu.utils.io import read_ply, load_result_pickle
+
+REF_DEMO = "/root/reference/demo"
+
+
+@pytest.mark.skipif(not osp.isdir(REF_DEMO), reason="reference demo not mounted")
+class TestDemoEndToEnd:
+    def test_combined_prior_fit(self, tmp_path):
+        cfg = load_config(
+            "cfg/fit_smplx_combined_coco25.yaml",
+            data_folder=REF_DEMO,
+            output_folder=str(tmp_path / "out"),
+            expose_results_directory=osp.join(REF_DEMO, "ExPose_results"),
+            pixie_results_directory=osp.join(REF_DEMO, "PIXIE_results"),
+            use_gender_classifier=False,
+            interpenetration=False,   # synthetic parts segm not meaningful
+            maxiters=6,               # keep the CPU test fast
+            interactive=False,
+            save_vertices=True,
+        )
+        model = synthetic_model(num_verts=128, seed=0)
+        result = run(cfg, model=model)
+
+        assert set(result.names) == {"02_cropped", "18_cropped"}
+        assert np.isfinite(result.losses).all()
+
+        # conf dump exists (reference main.py:59-61 behavior)
+        assert osp.exists(tmp_path / "out" / "conf.yaml")
+
+        # result pickles have the reference schema
+        d = load_result_pickle(result.result_files[0])
+        for key in ("camera_translation", "camera_center", "focal_length",
+                    "H", "W", "global_orient", "betas", "body_pose",
+                    "left_hand_pose", "jaw_pose"):
+            assert key in d, key
+        assert d["body_pose"].shape == (1, 63)
+        assert d["betas"].shape[-1] == 10
+        # regression camera prior puts the body in front of the camera
+        assert d["camera_translation"][0, 2] > 0
+
+        # vertices.ply written and loadable
+        ply = osp.join(osp.dirname(result.result_files[0]), "vertices.ply")
+        verts, _ = read_ply(ply)
+        assert verts.shape == (128, 3)
+
+        # meshes written
+        assert all(osp.exists(m) for m in result.mesh_files)
+
+    def test_vposer_path_with_random_weights(self, tmp_path, monkeypatch):
+        """The use_vposer code path end-to-end (random decoder weights)."""
+        from smplifyx_tpu.models import vposer as vposer_mod
+        monkeypatch.setattr(
+            vposer_mod, "load_vposer",
+            lambda path: vposer_mod.VPoser(vposer_mod.random_params(0)),
+        )
+        import smplifyx_tpu.app  # load_vposer is imported inside run()
+
+        cfg = load_config(
+            "cfg/fit_smplx_combined_vposer_coco25.yaml",
+            data_folder=REF_DEMO,
+            output_folder=str(tmp_path / "out"),
+            expose_results_directory=osp.join(REF_DEMO, "ExPose_results"),
+            pixie_results_directory=osp.join(REF_DEMO, "PIXIE_results"),
+            use_gender_classifier=False,
+            interpenetration=False,
+            maxiters=4,
+            interactive=False,
+        )
+        model = synthetic_model(num_verts=96, seed=1)
+        result = run(cfg, model=model)
+        assert np.isfinite(result.losses).all()
+        d = load_result_pickle(result.result_files[0])
+        assert d["body_pose"].shape == (1, 63)  # decoded from the latent
