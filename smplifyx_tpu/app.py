@@ -92,28 +92,39 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
         records = records[:max_frames]
     assert records, f"no frames found under {cfg.data_folder}"
 
-    # --- model
+    # --- gender grouping (annotation > classifier > cfg.gender default)
+    from smplifyx_tpu.data.gender import group_by_gender, load_homogenus
+
+    classifier = None
+    if cfg.use_gender_classifier and cfg.homogeneous_ckpt:
+        classifier = load_homogenus(cfg.homogeneous_ckpt)
+    gender_groups = group_by_gender(
+        records, default=cfg.gender, classifier=classifier
+    )
+
+    # --- model loading, one per gender present in the data
     settings = settings_from_config(cfg)
-    if model is None:
+
+    def get_model(gender: str):
+        if model is not None:
+            return model  # explicit override (tests / synthetic runs)
         if cfg.synthetic_model:
             from smplifyx_tpu.models.bodymodel import synthetic_model
 
-            model = synthetic_model(
+            return synthetic_model(
                 num_verts=cfg.synthetic_num_verts,
                 num_betas=cfg.num_betas,
                 num_expression_coeffs=cfg.num_expression_coeffs,
                 num_pca_comps=cfg.num_pca_comps,
             )
-        else:
-            path = osp.join(
-                cfg.model_folder, "smplx", f"SMPLX_{cfg.gender.upper()}.npz"
-            )
-            model = load_smplx_npz(
-                path, num_betas=cfg.num_betas,
-                num_expression_coeffs=cfg.num_expression_coeffs,
-                num_pca_comps=cfg.num_pca_comps,
-            )
-    model = jax.device_put(model)
+        path = osp.join(
+            cfg.model_folder, "smplx", f"SMPLX_{gender.upper()}.npz"
+        )
+        return load_smplx_npz(
+            path, num_betas=cfg.num_betas,
+            num_expression_coeffs=cfg.num_expression_coeffs,
+            num_pca_comps=cfg.num_pca_comps,
+        )
 
     joint_map = jnp.asarray(model_to_annotation(
         cfg.model_type, cfg.use_hands, cfg.use_face, cfg.use_face_contour,
@@ -134,24 +145,15 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
         vposer = load_vposer(cfg.vposer_ckpt)
         decode_body = vposer.decode
 
-    collision_fn = None
-    if cfg.interpenetration:
-        segm = parents = None
-        if cfg.part_segm_fn:
-            segm, parents = load_part_segm(osp.expandvars(cfg.part_segm_fn))
-        collision_fn = make_collision_fn(
-            model.faces, segm=segm, parents=parents,
-            ign_part_pairs=cfg.ign_part_pairs,
-            window=min(cfg.max_collisions, 64),
-            sigma=cfg.df_cone_height,
-            penalize_outside=cfg.penalize_outside,
-        )
+    segm = parents = None
+    if cfg.interpenetration and cfg.part_segm_fn:
+        segm, parents = load_part_segm(osp.expandvars(cfg.part_segm_fn))
 
-    # --- regression priors per frame
-    regression = None
-    if cfg.regression_prior:
-        regression = []
-        for rec in records:
+    def load_regression(group_records):
+        if not cfg.regression_prior:
+            return None
+        out = []
+        for rec in group_records:
             H, W = rec.img_size
             focal = cfg.focal_length or float(np.sqrt(W * W + H * H))
             expose = pixie = pare = None
@@ -161,16 +163,12 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
                 pixie = load_pixie(cfg.pixie_results_directory, rec.fn)
             if cfg.pare_results_directory:
                 pare = load_pare(cfg.pare_results_directory, rec.fn)
-            regression.append(build_regression_prior(
+            out.append(build_regression_prior(
                 cfg.regression_prior, focal, expose=expose, pixie=pixie,
                 pare=pare, use_camera_prior=cfg.use_camera_prior,
             ))
+        return out
 
-    # --- batch assembly + schedule
-    batch = prepare_batch(
-        cfg, records, dataset.get_joint_weights(),
-        regression=regression, vposer=vposer, gmm=gmm,
-    )
     schedule = build_stage_schedule(
         cfg.body_pose_prior_weights, cfg.shape_weights, cfg.expr_weights,
         cfg.hand_pose_prior_weights, cfg.jaw_pose_prior_weights,
@@ -198,75 +196,99 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
     )
     edge_idxs = jnp.asarray(cfg.body_tri_pairs)
 
-    # --- the jit-compiled fit
-    fitted = jax.jit(
-        lambda model, frames, x0: fit_batch(
-            model, settings, options, schedule, frames, x0,
-            decode_body, joint_map, gmm=gmm, edge_idxs=edge_idxs,
-            collision_fn=collision_fn,
-        )
-    )
-    res = fitted(model, batch.frames, jnp.asarray(batch.x0))
-    out_fwd, params, cam_t = recover_outputs(
-        model, settings, res.x, decode_body, joint_map=None
-    )
-    jax.block_until_ready(out_fwd.vertices)
-    elapsed = time.time() - t_start
+    # --- fit, one batch per gender group
+    all_names, all_losses, result_files, mesh_files = [], [], [], []
+    total_real = 0
+    for gender, group_records in sorted(gender_groups.items()):
+        group_model = jax.device_put(get_model(gender))
 
-    # --- write results per real frame
-    losses = np.asarray(res.loss)[: batch.num_real]
-    vertices = np.asarray(out_fwd.vertices)
-    cam_t_np = np.asarray(cam_t)
-    seg = unpack(settings, res.x)
-    decoded_pose = np.asarray(decode_body(seg["body"]))
-    faces_np = np.asarray(model.faces)
-
-    result_files, mesh_files = [], []
-    for i, name in enumerate(batch.names):
-        frame_result_dir = osp.join(result_dir, name)
-        os.makedirs(frame_result_dir, exist_ok=True)
-        H, W = batch.img_sizes[i]
-        pkl_path = osp.join(frame_result_dir, "000.pkl")
-        save_result_pickle(
-            pkl_path,
-            camera_translation=cam_t_np[i],
-            camera_center=np.asarray(batch.frames.center[i]),
-            focal_length=batch.focals[i],
-            H=H, W=W,
-            params={
-                "global_orient": np.asarray(seg["global_orient"][i]),
-                "betas": np.asarray(seg["betas"][i]),
-                "expression": np.asarray(seg["expression"][i]),
-                "jaw_pose": np.asarray(seg["jaw"][i]),
-                "leye_pose": np.asarray(seg["leye"][i]),
-                "reye_pose": np.asarray(seg["reye"][i]),
-                "left_hand_pose": np.asarray(seg["lhand"][i]),
-                "right_hand_pose": np.asarray(seg["rhand"][i]),
-            },
-            body_pose=decoded_pose[i],
-            loss=float(losses[i]),
-        )
-        result_files.append(pkl_path)
-
-        frame_mesh_dir = osp.join(mesh_dir, name)
-        os.makedirs(frame_mesh_dir, exist_ok=True)
-        if cfg.save_meshes:
-            obj_path = osp.join(frame_mesh_dir, "000.obj")
-            write_obj(obj_path, vertices[i], faces_np)
-            mesh_files.append(obj_path)
-        if cfg.save_vertices:
-            write_ply(
-                osp.join(frame_result_dir, "vertices.ply"), vertices[i]
+        collision_fn = None
+        if cfg.interpenetration:
+            collision_fn = make_collision_fn(
+                group_model.faces, segm=segm, parents=parents,
+                ign_part_pairs=cfg.ign_part_pairs,
+                window=min(cfg.max_collisions, 64),
+                sigma=cfg.df_cone_height,
+                penalize_outside=cfg.penalize_outside,
             )
 
+        batch = prepare_batch(
+            cfg, group_records, dataset.get_joint_weights(),
+            regression=load_regression(group_records),
+            vposer=vposer, gmm=gmm,
+        )
+
+        fitted = jax.jit(
+            lambda model, frames, x0: fit_batch(
+                model, settings, options, schedule, frames, x0,
+                decode_body, joint_map, gmm=gmm, edge_idxs=edge_idxs,
+                collision_fn=collision_fn,
+            )
+        )
+        res = fitted(group_model, batch.frames, jnp.asarray(batch.x0))
+        out_fwd, params, cam_t = recover_outputs(
+            group_model, settings, res.x, decode_body, joint_map=None
+        )
+        jax.block_until_ready(out_fwd.vertices)
+
+        # --- write results per real frame
+        losses = np.asarray(res.loss)[: batch.num_real]
+        vertices = np.asarray(out_fwd.vertices)
+        cam_t_np = np.asarray(cam_t)
+        seg = unpack(settings, res.x)
+        decoded_pose = np.asarray(decode_body(seg["body"]))
+        faces_np = np.asarray(group_model.faces)
+
+        for i, name in enumerate(batch.names):
+            frame_result_dir = osp.join(result_dir, name)
+            os.makedirs(frame_result_dir, exist_ok=True)
+            H, W = batch.img_sizes[i]
+            pkl_path = osp.join(frame_result_dir, "000.pkl")
+            save_result_pickle(
+                pkl_path,
+                camera_translation=cam_t_np[i],
+                camera_center=np.asarray(batch.frames.center[i]),
+                focal_length=batch.focals[i],
+                H=H, W=W,
+                params={
+                    "global_orient": np.asarray(seg["global_orient"][i]),
+                    "betas": np.asarray(seg["betas"][i]),
+                    "expression": np.asarray(seg["expression"][i]),
+                    "jaw_pose": np.asarray(seg["jaw"][i]),
+                    "leye_pose": np.asarray(seg["leye"][i]),
+                    "reye_pose": np.asarray(seg["reye"][i]),
+                    "left_hand_pose": np.asarray(seg["lhand"][i]),
+                    "right_hand_pose": np.asarray(seg["rhand"][i]),
+                },
+                body_pose=decoded_pose[i],
+                loss=float(losses[i]),
+            )
+            result_files.append(pkl_path)
+
+            frame_mesh_dir = osp.join(mesh_dir, name)
+            os.makedirs(frame_mesh_dir, exist_ok=True)
+            if cfg.save_meshes:
+                obj_path = osp.join(frame_mesh_dir, "000.obj")
+                write_obj(obj_path, vertices[i], faces_np)
+                mesh_files.append(obj_path)
+            if cfg.save_vertices:
+                write_ply(
+                    osp.join(frame_result_dir, "vertices.ply"), vertices[i]
+                )
+        all_names.extend(batch.names)
+        all_losses.append(losses)
+        total_real += batch.num_real
+
+    elapsed = time.time() - t_start
+    losses_np = np.concatenate(all_losses)
     if cfg.interactive:
         print(
-            f"fitted {batch.num_real} frame(s) in {elapsed:.2f}s "
-            f"({batch.num_real / elapsed:.2f} frames/s), "
-            f"losses: {np.round(losses, 2).tolist()}"
+            f"fitted {total_real} frame(s) in {elapsed:.2f}s "
+            f"({total_real / elapsed:.2f} frames/s), "
+            f"losses: {np.round(losses_np, 2).tolist()}"
         )
     return AppResult(
-        names=batch.names, losses=losses,
+        names=all_names, losses=losses_np,
         result_files=result_files, mesh_files=mesh_files,
-        elapsed_s=elapsed, frames_per_sec=batch.num_real / elapsed,
+        elapsed_s=elapsed, frames_per_sec=total_real / elapsed,
     )

@@ -48,7 +48,7 @@ def procrustes_align(S1: jax.Array, S2: jax.Array) -> jax.Array:
     det = jnp.linalg.det(U @ V.T)
     Z = Z.at[-1, -1].set(jnp.sign(det))
     R = V @ Z @ U.T
-    scale = jnp.trace(R @ K.T) / jnp.maximum(var1, 1e-12)
+    scale = jnp.trace(R @ K) / jnp.maximum(var1, 1e-12)
     t = mu2 - scale * (mu1 @ R.T)
     return scale * (S1 @ R.T) + t
 

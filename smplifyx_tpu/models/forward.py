@@ -76,10 +76,34 @@ class SMPLXOutput:
     right_hand_pose: jax.Array
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _tree_levels(parents: tuple) -> tuple:
+    """Partition joints by tree depth: ((level_idxs, their_parents), ...).
+
+    Joints at the same depth have independent global transforms given the
+    previous level, so each level is ONE batched 4x4 matmul.  This cuts the
+    sequential FK (and backward) depth from J=55 chained ops to ~11 — a
+    large win inside the optimizer's while_loop where the chain runs
+    thousands of times.
+    """
+    depth = [0] * len(parents)
+    for j in range(1, len(parents)):
+        depth[j] = depth[parents[j]] + 1
+    levels = []
+    for d in range(1, max(depth) + 1):
+        idxs = tuple(j for j in range(len(parents)) if depth[j] == d)
+        pars = tuple(parents[j] for j in idxs)
+        levels.append((idxs, pars))
+    return tuple(levels)
+
+
 def _rigid_transform_chain(
     rot_mats: jax.Array, joints: jax.Array, parents
 ) -> tuple[jax.Array, jax.Array]:
-    """Forward-kinematics along the (static) parent tree.
+    """Forward kinematics along the (static) parent tree, level-batched.
 
     rot_mats: [B, J, 3, 3]; joints: [B, J, 3] rest positions.
     Returns (posed_joints [B, J, 3], rel_transforms [B, J, 4, 4]) where
@@ -87,20 +111,33 @@ def _rigid_transform_chain(
     classic LBS).
     """
     B, J = joints.shape[:2]
-    rel = joints.at[:, 1:].add(-joints[:, parents[1:]])  # joint offsets
+    parents = tuple(parents)
+    rel = jnp.concatenate(
+        [joints[:, :1], joints[:, 1:] - joints[:, parents[1:]]], axis=1
+    )  # joint offsets (scatter-free)
 
-    def make_T(R, t):
-        T = jnp.concatenate([R, t[..., None]], axis=-1)  # [B, 3, 4]
-        bottom = jnp.broadcast_to(
-            jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=R.dtype), (B, 1, 4)
-        )
-        return jnp.concatenate([T, bottom], axis=-2)  # [B, 4, 4]
+    # All local transforms at once: [B, J, 4, 4].
+    T_local = jnp.concatenate([rot_mats, rel[..., None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=rot_mats.dtype),
+        (B, J, 1, 4),
+    )
+    T_local = jnp.concatenate([T_local, bottom], axis=-2)
 
-    transforms = [make_T(rot_mats[:, 0], rel[:, 0])]
-    for j in range(1, J):
-        T_local = make_T(rot_mats[:, j], rel[:, j])
-        transforms.append(transforms[parents[j]] @ T_local)
-    T_global = jnp.stack(transforms, axis=1)  # [B, J, 4, 4]
+    # Scatter-free accumulation: levels are concatenated in BFS order into a
+    # growing buffer (parents always live at already-final positions), then
+    # one final gather restores joint order.  TPU scatters are far slower
+    # than gathers, so .at[].set per level is avoided.
+    levels = _tree_levels(parents)
+    bfs_order = [0] + [j for idxs, _ in levels for j in idxs]
+    pos_of = {j: i for i, j in enumerate(bfs_order)}
+    acc = T_local[:, :1]  # root is already global
+    for idxs, pars in levels:
+        par_pos = jnp.asarray([pos_of[p] for p in pars])
+        updated = acc[:, par_pos] @ T_local[:, jnp.asarray(idxs)]
+        acc = jnp.concatenate([acc, updated], axis=1)
+    inverse = jnp.asarray([pos_of[j] for j in range(J)])
+    T_global = acc[:, inverse]
 
     posed_joints = T_global[..., :3, 3]
     # Subtract the skinned rest-joint contribution: A = T - pack(T @ [j; 0]).

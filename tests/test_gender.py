@@ -1,0 +1,45 @@
+import numpy as np
+import pytest
+
+from smplifyx_tpu.data.gender import resolve_gender, group_by_gender
+from smplifyx_tpu.data.keypoints import FrameRecord
+
+
+def rec(name, gt=None, pd=None):
+    return FrameRecord(
+        fn=name, img_path=name + ".jpg",
+        keypoints=np.zeros((1, 135, 3), np.float32), img_size=(10, 10),
+        gender_gt=gt or [], gender_pd=pd or [],
+    )
+
+
+class TestResolveGender:
+    def test_gt_wins(self):
+        assert resolve_gender(rec("a", gt=["male"], pd=["female"])) == "male"
+
+    def test_pd_fallback(self):
+        assert resolve_gender(rec("a", pd=["female"])) == "female"
+
+    def test_classifier_fallback(self):
+        assert resolve_gender(rec("a"), classifier=lambda r: "male") == "male"
+
+    def test_default(self):
+        assert resolve_gender(rec("a"), default="neutral") == "neutral"
+
+    def test_invalid_annotation_ignored(self):
+        assert resolve_gender(rec("a", gt=["alien"]), default="female") == "female"
+
+
+class TestGrouping:
+    def test_groups(self):
+        records = [rec("a", gt=["male"]), rec("b", gt=["male"]),
+                   rec("c", pd=["female"]), rec("d")]
+        groups = group_by_gender(records, default="neutral")
+        assert sorted(groups) == ["female", "male", "neutral"]
+        assert [r.fn for r in groups["male"]] == ["a", "b"]
+        assert [r.fn for r in groups["neutral"]] == ["d"]
+
+    def test_homogenus_hook_raises_helpfully(self):
+        from smplifyx_tpu.data.gender import load_homogenus
+        with pytest.raises(ImportError, match="homogenus"):
+            load_homogenus("/nonexistent")

@@ -1,0 +1,113 @@
+"""Software rasterizer + keypoint overlays + result-pickle re-rendering."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from smplifyx_tpu.ops.camera import CameraParams, identity_camera
+from smplifyx_tpu.viz.render import (
+    render_mesh_overlay, overlay_keypoints, render_result_pickle,
+)
+
+
+def simple_quad():
+    """Two triangles forming a unit quad facing the camera at z=2."""
+    verts = np.array(
+        [[-0.5, -0.5, 2.0], [0.5, -0.5, 2.0], [0.5, 0.5, 2.0],
+         [-0.5, 0.5, 2.0]], np.float32,
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return verts, faces
+
+
+class TestRasterizer:
+    def test_quad_covers_center(self):
+        verts, faces = simple_quad()
+        cam = identity_camera((), focal_length=100.0,
+                              center=jnp.asarray([64.0, 64.0]))
+        img = render_mesh_overlay(None, verts, faces, cam, img_size=(128, 128))
+        assert img.shape == (128, 128, 3)
+        # center pixel covered by the quad -> tinted (not white)
+        assert img[64, 64].sum() < 3 * 250
+        # far corner untouched -> white background
+        assert (img[2, 2] > 250).all()
+
+    def test_zbuffer_front_wins(self):
+        # red-ish triangle in front of a second quad
+        verts, faces = simple_quad()
+        verts2 = verts.copy()
+        verts2[:, 2] = 3.0  # behind
+        all_verts = np.concatenate([verts, verts2])
+        all_faces = np.concatenate([faces, faces + 4])
+        cam = identity_camera((), focal_length=100.0,
+                              center=jnp.asarray([64.0, 64.0]))
+        img_near = render_mesh_overlay(
+            None, all_verts, all_faces, cam, img_size=(128, 128)
+        )
+        img_only_near = render_mesh_overlay(
+            None, verts, faces, cam, img_size=(128, 128)
+        )
+        # the occluded back quad must not change the image
+        np.testing.assert_array_equal(img_near, img_only_near)
+
+    def test_composites_over_image(self):
+        verts, faces = simple_quad()
+        base = np.zeros((128, 128, 3), np.float32)
+        cam = identity_camera((), focal_length=100.0,
+                              center=jnp.asarray([64.0, 64.0]))
+        img = render_mesh_overlay(base, verts, faces, cam, alpha=1.0)
+        assert img[64, 64].sum() > 0       # mesh rendered
+        assert (img[2, 2] == 0).all()      # background kept
+
+
+class TestKeypointOverlay:
+    def test_points_drawn(self):
+        img = np.zeros((64, 64, 3), np.float32)
+        kp = np.zeros((25, 3), np.float32)
+        kp[0] = [32, 32, 0.9]
+        kp[1] = [40, 32, 0.9]
+        out = overlay_keypoints(img, kp)
+        assert out[32, 32].sum() > 0
+        # low-confidence keypoints skipped
+        kp2 = np.zeros((25, 3), np.float32)
+        kp2[0] = [10, 10, 0.01]
+        out2 = overlay_keypoints(np.zeros((64, 64, 3), np.float32), kp2)
+        assert out2.sum() == 0
+
+    def test_edges_drawn(self):
+        img = np.zeros((64, 64, 3), np.float32)
+        kp = np.zeros((25, 3), np.float32)
+        kp[0] = [10, 10, 1.0]
+        kp[1] = [50, 10, 1.0]
+        out = overlay_keypoints(img, kp, point_radius=0)
+        # pixels on the segment between the two joints
+        assert out[10, 30].sum() > 0
+
+
+class TestRenderPickle:
+    def test_roundtrip(self, tmp_path):
+        from smplifyx_tpu.models.bodymodel import synthetic_model
+        from smplifyx_tpu.utils.io import save_result_pickle
+
+        model = synthetic_model(num_verts=64, seed=0)
+        pkl = tmp_path / "000.pkl"
+        save_result_pickle(
+            str(pkl),
+            camera_translation=np.array([0, 0, 4.0], np.float32),
+            camera_center=np.array([32, 32], np.float32),
+            focal_length=100.0, H=64, W=64,
+            params={
+                "global_orient": np.zeros(3, np.float32),
+                "betas": np.zeros(10, np.float32),
+                "expression": np.zeros(10, np.float32),
+                "jaw_pose": np.zeros(3, np.float32),
+                "leye_pose": np.zeros(3, np.float32),
+                "reye_pose": np.zeros(3, np.float32),
+                "left_hand_pose": np.zeros(12, np.float32),
+                "right_hand_pose": np.zeros(12, np.float32),
+            },
+            body_pose=np.zeros(63, np.float32),
+        )
+        img = render_result_pickle(str(pkl), model)
+        assert img.shape == (64, 64, 3)
+        assert img.dtype == np.uint8
