@@ -217,6 +217,16 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
             regression=load_regression(group_records),
             vposer=vposer, gmm=gmm,
         )
+        if cfg.resume_from:
+            from smplifyx_tpu.fitting.checkpoint import warm_start_from_results
+
+            x_prev, found = warm_start_from_results(
+                osp.expandvars(cfg.resume_from), batch.names, settings,
+                vposer=vposer,
+            )
+            x0_np = np.asarray(batch.x0).copy()
+            x0_np[: len(found)][found] = x_prev[found]
+            batch.x0 = x0_np
 
         fitted = jax.jit(
             lambda model, frames, x0: fit_batch(

@@ -139,6 +139,7 @@ class KeypointFolderDataset:
         joints_to_ign: Optional[list[int]] = None,
         format: str = "coco25",
         load_images: bool = False,
+        use_native_parser: Optional[bool] = None,  # None = auto-detect
         **_,
     ):
         self.format = format.lower()
@@ -147,6 +148,11 @@ class KeypointFolderDataset:
         self.use_face_contour = use_face_contour
         self.joints_to_ign = joints_to_ign
         self.load_images = load_images
+        if use_native_parser is None:
+            from smplifyx_tpu.data import native
+
+            use_native_parser = native.is_available()
+        self.use_native_parser = use_native_parser
 
         self.num_body_joints = NUM_BODY_JOINTS_BY_FORMAT[self.format]
         self.left_shoulder, self.right_shoulder = SHOULDER_IDXS_BY_FORMAT[self.format]
@@ -190,12 +196,27 @@ class KeypointFolderDataset:
         matches = glob(osp.join(self.keyp_folder, img_fn + "_*.json"))
         if not matches:
             raise FileNotFoundError(f"Keypoint file for {img_fn} does not exist")
-        kp = read_keypoints(
-            matches[0],
-            use_hands=self.use_hands,
-            use_face=self.use_face,
-            use_face_contour=self.use_face_contour,
-        )
+        # The native parser skips gender annotations; route files carrying
+        # them through the Python reader (cheap substring probe).
+        native_ok = self.use_native_parser
+        if native_ok:
+            with open(matches[0], "rb") as f:
+                native_ok = b"gender" not in f.read()
+        if native_ok:
+            from smplifyx_tpu.data.native import read_keypoints_native
+
+            arr = read_keypoints_native(
+                matches[0], use_hands=self.use_hands, use_face=self.use_face,
+                use_face_contour=self.use_face_contour,
+            )
+            kp = Keypoints(keypoints=arr)
+        else:
+            kp = read_keypoints(
+                matches[0],
+                use_hands=self.use_hands,
+                use_face=self.use_face,
+                use_face_contour=self.use_face_contour,
+            )
         img = load_image(img_path) if self.load_images else None
         size = (
             img.shape[:2] if img is not None else _jpeg_png_size(img_path)

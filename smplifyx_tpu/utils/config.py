@@ -120,6 +120,9 @@ class Config:
     # lets the full pipeline run where the licensed artifacts are absent.
     synthetic_model: bool = False
     synthetic_num_verts: int = 10475
+    # Warm-start from a previous run's results folder (the reference wipes
+    # and restarts; this is the resume story it lacks).
+    resume_from: Optional[str] = None
 
     @property
     def num_stages(self) -> int:

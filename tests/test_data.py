@@ -231,3 +231,54 @@ class TestRegressors:
         }
         init_t, center = expose_camera(expose, focal_length=2500.0)
         np.testing.assert_allclose(init_t, [0.1, 0.2, 5.0], rtol=1e-6)
+
+
+class TestNativeParser:
+    def test_matches_python_reader(self, tmp_path):
+        from smplifyx_tpu.data import native
+        if not native.is_available():
+            pytest.skip("native parser not built")
+        p = tmp_path / "x_keypoints.json"
+        make_openpose_json(p, num_people=2, seed=11)
+        a = native.read_keypoints_native(str(p), True, True, True)
+        b = read_keypoints(str(p), True, True, True).keypoints
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    def test_dataset_uses_native_and_falls_back_for_gender(self, tmp_path):
+        from smplifyx_tpu.data import native
+        if not native.is_available():
+            pytest.skip("native parser not built")
+        (tmp_path / "images").mkdir(); (tmp_path / "keypoints").mkdir()
+        import struct as _s, zlib, binascii
+        def tiny_png(path, w=4, h=4):
+            sig = b"\x89PNG\r\n\x1a\n"
+            ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            def chunk(tag, data):
+                c = tag + data
+                return _s.pack(">I", len(data)) + c + _s.pack(
+                    ">I", binascii.crc32(c) & 0xFFFFFFFF)
+            raw = zlib.compress(b"".join(b"\x00" + b"\x00" * (3 * w)
+                                          for _ in range(h)))
+            with open(path, "wb") as f:
+                f.write(sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
+                        + chunk(b"IEND", b""))
+        tiny_png(tmp_path / "images" / "a.png")
+        # JSON with a gender annotation must go through the python reader
+        import json as _json
+        rng = np.random.default_rng(0)
+        person = {
+            "person_id": [-1],
+            "gender_pd": "female",
+            "pose_keypoints_2d": rng.uniform(0, 10, 25 * 3).tolist(),
+            "hand_left_keypoints_2d": rng.uniform(0, 10, 21 * 3).tolist(),
+            "hand_right_keypoints_2d": rng.uniform(0, 10, 21 * 3).tolist(),
+            "face_keypoints_2d": rng.uniform(0, 10, 70 * 3).tolist(),
+        }
+        with open(tmp_path / "keypoints" / "a_keypoints.json", "w") as f:
+            _json.dump({"people": [person]}, f)
+        ds = create_dataset(format="coco25", data_folder=str(tmp_path),
+                            use_hands=True, use_face=True,
+                            use_face_contour=True)
+        rec = ds[0]
+        assert rec.gender_pd == ["female"]
+        assert rec.keypoints.shape == (1, 135, 3)
