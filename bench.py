@@ -94,6 +94,9 @@ def main():
 
     B = 64
     model, settings, frames, x0, joint_map = build_problem(B)
+    from smplifyx_tpu.models.sparse import build_joints_model
+
+    joints_model = build_joints_model(model)
 
     schedule = build_stage_schedule(
         body_pose_prior_weights=[4.04e2, 57.4, 4.78],
@@ -115,23 +118,25 @@ def main():
     # turns them into inline HLO constants, which inflates compile time by
     # >20x (307 s vs 14 s measured on v5e via the axon tunnel).
     fit = jax.jit(
-        lambda model, frames, x0: fit_batch(
+        lambda model, joints_model, frames, x0: fit_batch(
             model, settings, options, schedule, frames, x0,
             lambda b: b, joint_map,
             edge_idxs=jnp.asarray([[5, 12], [2, 9]]),
+            joints_model=joints_model,
         )
     )
 
     model = jax.device_put(model)
+    joints_model = jax.device_put(joints_model)
     # Compile + warmup.
-    res = fit(model, frames, x0)
+    res = fit(model, joints_model, frames, x0)
     jax.block_until_ready(res.loss)
 
     # Steady state.
     n_rounds = 3
     t0 = time.perf_counter()
     for _ in range(n_rounds):
-        res = fit(model, frames, x0)
+        res = fit(model, joints_model, frames, x0)
         jax.block_until_ready(res.loss)
     dt = (time.perf_counter() - t0) / n_rounds
 

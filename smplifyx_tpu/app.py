@@ -199,8 +199,11 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
     # --- fit, one batch per gender group
     all_names, all_losses, result_files, mesh_files = [], [], [], []
     total_real = 0
+    from smplifyx_tpu.models.sparse import build_joints_model
+
     for gender, group_records in sorted(gender_groups.items()):
         group_model = jax.device_put(get_model(gender))
+        joints_model = jax.device_put(build_joints_model(group_model))
 
         collision_fn = None
         if cfg.interpenetration:
@@ -229,13 +232,14 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
             batch.x0 = x0_np
 
         fitted = jax.jit(
-            lambda model, frames, x0: fit_batch(
+            lambda model, joints_model, frames, x0: fit_batch(
                 model, settings, options, schedule, frames, x0,
                 decode_body, joint_map, gmm=gmm, edge_idxs=edge_idxs,
-                collision_fn=collision_fn,
+                collision_fn=collision_fn, joints_model=joints_model,
             )
         )
-        res = fitted(group_model, batch.frames, jnp.asarray(batch.x0))
+        res = fitted(group_model, joints_model, batch.frames,
+                     jnp.asarray(batch.x0))
         out_fwd, params, cam_t = recover_outputs(
             group_model, settings, res.x, decode_body, joint_map=None
         )

@@ -192,6 +192,29 @@ def smplify_energy(
     return joint_loss + pprior + shape_loss + bend + hand_loss + face_loss + pen_loss
 
 
+def _mapped_joints(settings: FitSettings, model, params, joint_map,
+                   joints_model=None) -> jax.Array:
+    """Mapped joints via the cheap joints-only forward when available."""
+    if joints_model is not None:
+        from smplifyx_tpu.models.sparse import joints_forward
+
+        return joints_forward(
+            joints_model, params,
+            use_pca=settings.use_pca,
+            flat_hand_mean=settings.flat_hand_mean,
+            use_face_contour=settings.use_face_contour,
+            joint_map=joint_map,
+        )
+    return smplx_forward(
+        model, params,
+        use_pca=settings.use_pca,
+        flat_hand_mean=settings.flat_hand_mean,
+        use_face_contour=settings.use_face_contour,
+        joint_map=joint_map,
+        return_verts=True,
+    ).joints
+
+
 def camera_init_energy(
     x: jax.Array,
     settings: FitSettings,
@@ -199,26 +222,21 @@ def camera_init_energy(
     frame: FrameData,
     decode_body: Callable[[jax.Array], jax.Array],
     joint_map: jax.Array,
+    joints_model=None,
 ) -> jax.Array:
     """Stage-0 camera objective (reference SMPLifyCameraInitLoss).
 
     Squared 2D error over the trimmed torso joints (+conf weighting) scaled
     by data_weight^2, plus the squared-depth regularizer pulling t_z to the
-    similar-triangles estimate.
+    similar-triangles estimate.  Uses the joints-only sparse forward when a
+    JointsModel is supplied (~50x fewer FLOPs than the full mesh).
     """
     params, cam_t, _ = body_params_from_flat(
         settings, x[None], lambda b: decode_body(b)
     )
-    out = smplx_forward(
-        model, params,
-        use_pca=settings.use_pca,
-        flat_hand_mean=settings.flat_hand_mean,
-        use_face_contour=settings.use_face_contour,
-        joint_map=joint_map,
-        return_verts=True,
-    )
+    joints = _mapped_joints(settings, model, params, joint_map, joints_model)
     camera = make_camera(frame, cam_t[0])
-    proj = project_points(camera, out.joints[0])
+    proj = project_points(camera, joints[0])
 
     err = (frame.gt_joints - proj) ** 2  # [K, 2]
     masked = err * frame.init_joints_mask[:, None]
@@ -249,6 +267,7 @@ def guess_camera_depth(
     focal_length: jax.Array,
     decode_body: Callable[[jax.Array], jax.Array],
     joint_map: jax.Array,
+    joints_model=None,
 ) -> jax.Array:
     """Similar-triangles depth init (reference guess_init, fitting.py:36-110).
 
@@ -258,15 +277,8 @@ def guess_camera_depth(
     params, _, _ = body_params_from_flat(
         settings, x0[None], lambda b: decode_body(b)
     )
-    out = smplx_forward(
-        model, params,
-        use_pca=settings.use_pca,
-        flat_hand_mean=settings.flat_hand_mean,
-        use_face_contour=settings.use_face_contour,
-        joint_map=joint_map,
-        return_verts=True,
-    )
-    j3d = out.joints[0]  # [K, 3]
+    joints = _mapped_joints(settings, model, params, joint_map, joints_model)
+    j3d = joints[0]  # [K, 3]
     d3 = j3d[edge_idxs[:, 0]] - j3d[edge_idxs[:, 1]]          # [E, 3]
     d2 = gt_joints[edge_idxs[:, 0]] - gt_joints[edge_idxs[:, 1]]  # [E, 2]
     len3 = jnp.sqrt(jnp.sum(d3**2, axis=-1))

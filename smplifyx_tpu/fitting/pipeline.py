@@ -77,6 +77,7 @@ def fit_batch(
     gmm=None,
     edge_idxs: Optional[jax.Array] = None,
     collision_fn: Optional[Callable] = None,
+    joints_model=None,
 ) -> FitResult:
     """Fit a batch of frames.  Fully jit-able; vmap/pjit-friendly.
 
@@ -95,7 +96,7 @@ def fit_batch(
         init_t = jax.vmap(
             lambda x, f: guess_camera_depth(
                 settings, model, x, f.gt_joints, edge_idxs, f.focal[0],
-                decode_body, joint_map,
+                decode_body, joint_map, joints_model=joints_model,
             )
         )(x0, frames)
         frames = frames.replace(trans_estimation=init_t)
@@ -106,7 +107,8 @@ def fit_batch(
     # ---- stage 0: camera ----------------------------------------------
     def cam_fit_one(x, frame):
         fun = lambda xx: camera_init_energy(
-            xx, settings, model, frame, decode_body, joint_map
+            xx, settings, model, frame, decode_body, joint_map,
+            joints_model=joints_model,
         )
         return minimize(fun, x, mask=cam_mask, cfg=options.camera_lbfgs)
 
