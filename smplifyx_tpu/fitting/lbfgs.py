@@ -44,6 +44,18 @@ class LBFGSConfig:
     max_iters: int = struct.field(pytree_node=False, default=150)
     history: int = struct.field(pytree_node=False, default=16)
     max_ls: int = struct.field(pytree_node=False, default=25)
+    # After this many line-search evals, any Armijo-satisfying point is
+    # accepted even if the curvature condition isn't met yet (history
+    # updates stay guarded by s.y > 0, so L-BFGS stays well-defined).  On
+    # the stiff SMPLify energies the full strong-Wolfe zoom averages ~5
+    # evals/iteration; a small soft-accept budget bounds that tail at a
+    # small cost in final-gradient tightness.  Default off (= max_ls).
+    ls_soft_accept: int = struct.field(pytree_node=False, default=10_000)
+    # Warm-start each line search from the previously accepted step length
+    # (classic stiff-problem heuristic; t0=1 overshoots repeatedly when the
+    # energy is badly scaled along new directions).  Default off: unit
+    # initial steps preserve superlinear local convergence.
+    warm_start_step: bool = struct.field(pytree_node=False, default=False)
     lr: float = 1.0
     ftol: float = 1e-9   # relative f change (reference utils.rel_change)
     gtol: float = 1e-9   # max-abs gradient
@@ -131,7 +143,8 @@ def _strong_wolfe(value_grad_fn, x, t_init, d, f0, g0, gtd0, cfg: LBFGSConfig):
             | ((s.it > 1) & (s.f_t >= s.f_prev))
             | ~jnp.isfinite(s.f_t)
         )
-        cond_done = (~cond_hi) & (jnp.abs(s.gtd_t) <= wolfe_curv)
+        soft = s.it >= cfg.ls_soft_accept
+        cond_done = (~cond_hi) & ((jnp.abs(s.gtd_t) <= wolfe_curv) | soft)
         cond_swap = (~cond_hi) & (~cond_done) & (s.gtd_t >= 0)
         to_zoom = cond_hi | cond_swap
         stay = ~(to_zoom | cond_done)
@@ -177,7 +190,8 @@ def _strong_wolfe(value_grad_fn, x, t_init, d, f0, g0, gtd0, cfg: LBFGSConfig):
         cond_hi = (
             (s.f_t > armijo_ref(s.t)) | (s.f_t >= s.f_lo) | ~jnp.isfinite(s.f_t)
         )
-        cond_done = (~cond_hi) & (jnp.abs(s.gtd_t) <= wolfe_curv)
+        soft = s.it >= cfg.ls_soft_accept
+        cond_done = (~cond_hi) & ((jnp.abs(s.gtd_t) <= wolfe_curv) | soft)
         flip = (~cond_hi) & (~cond_done) & (s.gtd_t * (s.t_hi - s.t_lo) >= 0)
 
         t_hi = jnp.where(cond_hi, s.t, jnp.where(flip, s.t_lo, s.t_hi))
@@ -258,12 +272,12 @@ def _strong_wolfe(value_grad_fn, x, t_init, d, f0, g0, gtd0, cfg: LBFGSConfig):
 
     final = jax.lax.while_loop(cond, body, s0)
 
-    wolfe_ok = (jnp.abs(final.gtd_t) <= wolfe_curv) & (
-        final.f_t <= armijo_ref(final.t)
-    )
-    t_out = jnp.where(wolfe_ok, final.t, final.best_t)
-    f_out = jnp.where(wolfe_ok, final.f_t, final.best_f)
-    g_out = jnp.where(wolfe_ok, final.g_t, final.best_g)
+    # Accept the final point if it decreases sufficiently (strict Wolfe or a
+    # soft Armijo accept); otherwise fall back to the best point seen.
+    accept = jnp.isfinite(final.f_t) & (final.f_t <= armijo_ref(final.t))
+    t_out = jnp.where(accept, final.t, final.best_t)
+    f_out = jnp.where(accept, final.f_t, final.best_f)
+    g_out = jnp.where(accept, final.g_t, final.best_g)
     return t_out, f_out, g_out, final.it
 
 
@@ -311,6 +325,7 @@ class _MinState(NamedTuple):
     n_evals: jax.Array
     done: jax.Array
     converged: jax.Array
+    t_prev: jax.Array
 
 
 def minimize(
@@ -348,6 +363,7 @@ def minimize(
         n_evals=jnp.asarray(1, jnp.int32),
         done=(jnp.max(jnp.abs(g0)) <= cfg.gtol) | ~jnp.isfinite(f0),
         converged=(jnp.max(jnp.abs(g0)) <= cfg.gtol) & jnp.isfinite(f0),
+        t_prev=jnp.asarray(cfg.lr, dtype),
     )
 
     def cond(s: _MinState):
@@ -365,10 +381,16 @@ def minimize(
         gtd = jnp.where(bad_dir, -jnp.vdot(s.g, s.g), gtd)
 
         g_abs_sum = jnp.sum(jnp.abs(s.g))
+        if cfg.warm_start_step:
+            # Start near the previously accepted step; growing 2x per
+            # iteration lets it recover to the Newton step t=1 quickly.
+            later_t = jnp.clip(2.0 * s.t_prev, 1e-5, cfg.lr)
+        else:
+            later_t = jnp.asarray(cfg.lr, dtype)
         t0 = jnp.where(
             first,
             jnp.minimum(1.0, 1.0 / jnp.maximum(g_abs_sum, 1e-20)) * cfg.lr,
-            jnp.asarray(cfg.lr, dtype),
+            later_t,
         )
 
         t, f_new, g_new, ls_evals = _strong_wolfe(
@@ -424,6 +446,7 @@ def minimize(
             it=s.it + 1, n_evals=s.n_evals + ls_evals,
             done=non_finite | conv,
             converged=conv & ~non_finite,
+            t_prev=jnp.where(t > 0, t, s.t_prev),
         )
 
     final = jax.lax.while_loop(cond, body, init)
