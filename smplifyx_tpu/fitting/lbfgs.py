@@ -54,8 +54,13 @@ class LBFGSConfig:
     # Warm-start each line search from the previously accepted step length
     # (classic stiff-problem heuristic; t0=1 overshoots repeatedly when the
     # energy is badly scaled along new directions).  Default off: unit
-    # initial steps preserve superlinear local convergence.
+    # initial steps preserve superlinear local convergence, and tiny warm
+    # steps can trip the relative-ftol stop prematurely.
     warm_start_step: bool = struct.field(pytree_node=False, default=False)
+    # Trust-region-style cap on ||d||_inf: prevents line-search probes at
+    # absurd parameter magnitudes (exp-prior overflow territory) that waste
+    # ~5 evals bracketing back.  0 disables.
+    max_dir_inf: float = struct.field(pytree_node=False, default=0.0)
     lr: float = 1.0
     ftol: float = 1e-9   # relative f change (reference utils.rel_change)
     gtol: float = 1e-9   # max-abs gradient
@@ -373,6 +378,9 @@ def minimize(
         first = s.n_hist == 0
         d = _two_loop(s.g, s.S_hist, s.Y_hist, s.rho, s.n_hist, m)
         d = jnp.where(first, -s.g, d)
+        if cfg.max_dir_inf > 0:
+            d_inf = jnp.max(jnp.abs(d))
+            d = d * jnp.minimum(1.0, cfg.max_dir_inf / jnp.maximum(d_inf, 1e-20))
         gtd = jnp.vdot(s.g, d)
 
         # Reset to steepest descent if the direction is not a descent one.
