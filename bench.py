@@ -109,9 +109,12 @@ def main():
     # Reference budget: up to 30x30 iterations/stage with ftol/gtol 1e-9
     # early exits (cfg_files/*.yaml); 60/stage matches its typical converged
     # iteration counts.
+    # ls_soft_accept=6 measured quality-neutral (+16%) on this energy; the
+    # strict strong-Wolfe default averages ~5 evals/iteration here.
     options = FitOptions(
-        lbfgs=LBFGSConfig(max_iters=60, history=16, ftol=1e-9, gtol=1e-9),
-        camera_lbfgs=LBFGSConfig(max_iters=30, history=8),
+        lbfgs=LBFGSConfig(max_iters=60, history=16, ftol=1e-9, gtol=1e-9,
+                          ls_soft_accept=6),
+        camera_lbfgs=LBFGSConfig(max_iters=30, history=8, ls_soft_accept=6),
     )
 
     # The model MUST be a jit argument: closing over its ~60 MB of arrays

@@ -14,7 +14,7 @@ dependency + checkpoint are available.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Protocol
+from typing import Optional, Protocol
 
 from smplifyx_tpu.data.keypoints import FrameRecord
 

@@ -24,7 +24,7 @@ import glob
 import os.path as osp
 import pickle
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional
 
 import numpy as np

@@ -16,7 +16,7 @@ adds a real mid-pipeline story:
 from __future__ import annotations
 
 import os.path as osp
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

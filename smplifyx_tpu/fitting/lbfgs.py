@@ -59,8 +59,15 @@ class LBFGSConfig:
     warm_start_step: bool = struct.field(pytree_node=False, default=False)
     # Trust-region-style cap on ||d||_inf: prevents line-search probes at
     # absurd parameter magnitudes (exp-prior overflow territory) that waste
-    # ~5 evals bracketing back.  0 disables.
+    # ~5 evals bracketing back.  0 disables.  NOTE: measured to HURT the
+    # SMPLify energies (camera translation legitimately moves meters); kept
+    # for problems with uniformly-scaled parameters.
     max_dir_inf: float = struct.field(pytree_node=False, default=0.0)
+    # Cap on total objective evaluations (0 = unlimited).  Batched fits wait
+    # for the slowest lane; straggler lanes routinely burn ~3x the median
+    # eval count for marginal loss improvement, so a budget close to the
+    # p90 eval count cuts wall-clock with loss changes only on stragglers.
+    max_evals: int = struct.field(pytree_node=False, default=0)
     lr: float = 1.0
     ftol: float = 1e-9   # relative f change (reference utils.rel_change)
     gtol: float = 1e-9   # max-abs gradient
@@ -372,7 +379,8 @@ def minimize(
     )
 
     def cond(s: _MinState):
-        return (~s.done) & (s.it < cfg.max_iters)
+        under_budget = (cfg.max_evals <= 0) | (s.n_evals < cfg.max_evals)
+        return (~s.done) & (s.it < cfg.max_iters) & under_budget
 
     def body(s: _MinState) -> _MinState:
         first = s.n_hist == 0

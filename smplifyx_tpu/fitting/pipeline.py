@@ -16,7 +16,6 @@ re-architected for TPU:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -15,9 +15,6 @@ when the user provides it.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -88,6 +85,10 @@ class SMPLXModel:
     lmk_bary_coords: jax.Array   # [51, 3]
     dyn_lmk_faces_idx: jax.Array    # [L, 17] contour landmark faces per head-yaw bucket
     dyn_lmk_bary_coords: jax.Array  # [L, 17, 3]
+    # Gather-free extraction operators (TPU gathers are slow; these turn the
+    # extra-joint pick and the static-landmark barycentric interpolation
+    # into one [21+51, V] @ [B, V, 3] matmul on the MXU).
+    extra_lmk_matrix: jax.Array     # [21 + 51, V]
     # static (non-pytree) metadata
     num_verts: int = struct.field(pytree_node=False)
     num_joints: int = struct.field(pytree_node=False)
@@ -104,6 +105,26 @@ class SMPLXModel:
     @property
     def num_pca(self) -> int:
         return self.left_hand_components.shape[0]
+
+
+def build_extra_lmk_matrix(
+    num_verts: int,
+    extra_vids: np.ndarray,
+    faces: np.ndarray,
+    lmk_faces_idx: np.ndarray,
+    lmk_bary: np.ndarray,
+) -> np.ndarray:
+    """[21 + 51, V] operator: rows 0..20 one-hot extra-joint picks, rows
+    21..71 barycentric weights of the static face landmarks."""
+    n_extra = len(extra_vids)
+    n_lmk = len(lmk_faces_idx)
+    M = np.zeros((n_extra + n_lmk, num_verts), np.float32)
+    M[np.arange(n_extra), extra_vids] = 1.0
+    tri = faces[lmk_faces_idx]  # [51, 3]
+    for l in range(n_lmk):
+        for c in range(3):
+            M[n_extra + l, tri[l, c]] += lmk_bary[l, c]
+    return M
 
 
 def _neck_kin_chain(parents, head_idx: int = 15) -> tuple:
@@ -182,6 +203,11 @@ def load_smplx_npz(
             arr("dynamic_lmk_faces_idx", np.int64), dtype=jnp.int32
         ),
         dyn_lmk_bary_coords=jnp.asarray(arr("dynamic_lmk_bary_coords"), dtype=dtype),
+        extra_lmk_matrix=jnp.asarray(build_extra_lmk_matrix(
+            V, SMPLX_EXTRA_JOINT_VIDS, arr("f", np.int64).astype(np.int64),
+            arr("lmk_faces_idx", np.int64).astype(np.int64),
+            arr("lmk_bary_coords"),
+        ), dtype=dtype),
         num_verts=V,
         num_joints=len(parents),
         neck_kin_chain=_neck_kin_chain(parents),
@@ -271,6 +297,10 @@ def synthetic_model(
         lmk_bary_coords=jnp.asarray(lmk_bary, dtype=dtype),
         dyn_lmk_faces_idx=jnp.asarray(dyn_faces),
         dyn_lmk_bary_coords=jnp.asarray(dyn_bary, dtype=dtype),
+        extra_lmk_matrix=jnp.asarray(build_extra_lmk_matrix(
+            V, extra_vids.astype(np.int64), faces.astype(np.int64),
+            lmk_faces, lmk_bary,
+        ), dtype=dtype),
         num_verts=V,
         num_joints=J,
         neck_kin_chain=_neck_kin_chain(parents),

@@ -257,13 +257,12 @@ def smplx_forward(
     # --- output joint set: skeleton + extras + face landmarks
     joints_out = posed_joints
     if return_verts:
-        extra = vertices[:, model.extra_joint_vids]  # [B, 21, 3]
-        joints_out = jnp.concatenate([posed_joints, extra], axis=1)
-
-        lmk = _vertices_to_landmarks(
-            vertices, model.faces, model.lmk_faces_idx, model.lmk_bary_coords
-        )
-        parts = [joints_out, lmk]
+        # Extras + static landmarks as ONE matmul (gather-free: MXU instead
+        # of the TPU's slow gather path).
+        extra_lmk = jnp.einsum(
+            "ev,bvc->bec", model.extra_lmk_matrix, vertices
+        )  # [B, 21 + 51, 3]
+        parts = [posed_joints, extra_lmk]
         if use_face_contour:
             bucket = _head_yaw_bucket(
                 rot_mats, model.neck_kin_chain, model.dyn_lmk_faces_idx.shape[0]

@@ -83,6 +83,7 @@ def shard_model(model: SMPLXModel, mesh: Mesh) -> SMPLXModel:
         left_hand_mean=replicate(model.left_hand_mean, mesh),
         right_hand_mean=replicate(model.right_hand_mean, mesh),
         extra_joint_vids=replicate(model.extra_joint_vids, mesh),
+        extra_lmk_matrix=put(model.extra_lmk_matrix, P(None, "model")),
         lmk_faces_idx=replicate(model.lmk_faces_idx, mesh),
         lmk_bary_coords=replicate(model.lmk_bary_coords, mesh),
         dyn_lmk_faces_idx=replicate(model.dyn_lmk_faces_idx, mesh),

@@ -15,7 +15,6 @@ optional faces) keeps the IO path self-contained.
 from __future__ import annotations
 
 import pickle
-import struct
 from typing import Optional
 
 import numpy as np
