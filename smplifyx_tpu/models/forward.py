@@ -276,7 +276,10 @@ def smplx_forward(
         joints_out = jnp.concatenate(parts, axis=1)  # [B, 144?, 3]
 
     if joint_map is not None:
-        joints_out = joints_out[:, joint_map]
+        # Permutation as a one-hot matmul (gathers are slow on TPU).
+        P = jax.nn.one_hot(joint_map, joints_out.shape[1],
+                           dtype=joints_out.dtype)
+        joints_out = jnp.einsum("kj,bjc->bkc", P, joints_out)
 
     return SMPLXOutput(
         vertices=vertices,

@@ -170,5 +170,6 @@ def joints_forward(
         parts.append(contour)
     joints = jnp.concatenate(parts, axis=1)
     if joint_map is not None:
-        joints = joints[:, joint_map]
+        P = jax.nn.one_hot(joint_map, joints.shape[1], dtype=joints.dtype)
+        joints = jnp.einsum("kj,bjc->bkc", P, joints)
     return joints

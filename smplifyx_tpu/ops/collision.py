@@ -84,7 +84,10 @@ def _cone_phi(
 ) -> jax.Array:
     rel = points - centroid
     ax = jnp.sum(rel * normal, axis=-1)
-    rad = jnp.linalg.norm(rel - ax[..., None] * normal, axis=-1)
+    rad_vec = rel - ax[..., None] * normal
+    # eps-safe norm: sqrt has a NaN gradient at exactly 0, which happens for
+    # points on the cone axis (e.g. pairs of faces sharing a vertex).
+    rad = jnp.sqrt(jnp.sum(rad_vec * rad_vec, axis=-1) + 1e-12)
     radial = jax.nn.relu(1.0 - rad / jnp.maximum(radius, 1e-9))
     inside = jax.nn.relu(-ax / sigma) * radial
     if penalize_outside:
@@ -152,11 +155,11 @@ def make_collision_fn(
             e1 = tri_src[..., 1, :] - tri_src[..., 0, :]
             e2 = tri_src[..., 2, :] - tri_src[..., 0, :]
             n = jnp.cross(e1, e2)
-            n = n / jnp.maximum(
-                jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12
-            )
+            n_norm = jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
+            n = n / n_norm
+            rv = tri_src - c[..., None, :]
             r = jnp.max(
-                jnp.linalg.norm(tri_src - c[..., None, :], axis=-1), axis=-1
+                jnp.sqrt(jnp.sum(rv * rv, axis=-1) + 1e-12), axis=-1
             )
             phi = _cone_phi(
                 pts, c[..., None, :], n[..., None, :], r[..., None],
