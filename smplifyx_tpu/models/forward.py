@@ -140,10 +140,13 @@ def _rigid_transform_chain(
     T_global = acc[:, inverse]
 
     posed_joints = T_global[..., :3, 3]
-    # Subtract the skinned rest-joint contribution: A = T - pack(T @ [j; 0]).
-    joints_h = jnp.concatenate([joints, jnp.zeros((B, J, 1), joints.dtype)], -1)
-    correction = jnp.einsum("bjmn,bjn->bjm", T_global, joints_h)  # [B, J, 4]
-    A = T_global.at[..., :, 3].add(-correction)
+    # Subtract the skinned rest-joint contribution: A = T - pack(T @ [j; 0]),
+    # built scatter-free by rebuilding the last column via concat.
+    correction = jnp.einsum("bjmn,bjn->bjm", T_global[..., :3], joints)
+    A = jnp.concatenate(
+        [T_global[..., :3], (T_global[..., 3] - correction)[..., None]],
+        axis=-1,
+    )
     return posed_joints, A
 
 

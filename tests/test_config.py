@@ -1,0 +1,57 @@
+import pytest
+
+from smplifyx_tpu.utils.config import Config, load_config, parse_cli, save_config
+
+
+class TestConfig:
+    def test_presets_load(self):
+        for f, stages, fmt in [
+            ("cfg/fit_smplx_smplifyx.yaml", 5, "coco25"),
+            ("cfg/fit_smplx_combined_coco25.yaml", 3, "coco25"),
+            ("cfg/fit_smplx_combined_vposer_coco25.yaml", 3, "coco25"),
+            ("cfg/fit_smplx_combined_halpe.yaml", 3, "halpe"),
+        ]:
+            cfg = load_config(f)
+            assert cfg.num_stages == stages
+            assert cfg.format == fmt
+
+    def test_body_tri_pairs(self):
+        cfg = Config(body_tri_idxs=[5, 12, 2, 9])
+        assert cfg.body_tri_pairs == [(5, 12), (2, 9)]
+        with pytest.raises(AssertionError):
+            Config(body_tri_idxs=[1, 2, 3]).body_tri_pairs
+
+    def test_schedule_length_validation(self):
+        with pytest.raises(ValueError, match="shape_weights"):
+            Config(body_pose_prior_weights=[1, 2, 3],
+                   shape_weights=[1.0]).validate()
+
+    def test_unknown_format(self):
+        with pytest.raises(ValueError, match="format"):
+            Config(format="mpii").validate()
+
+    def test_cli_overrides(self):
+        cfg = parse_cli([
+            "--config", "cfg/fit_smplx_combined_coco25.yaml",
+            "--rho", "50", "--use_vposer", "true",
+            "--body_pose_prior_weights", "10", "20", "30",
+            "--joints_to_ign", "1", "2",
+        ])
+        assert cfg.rho == 50.0
+        assert cfg.use_vposer is True
+        assert cfg.body_pose_prior_weights == [10.0, 20.0, 30.0]
+        assert cfg.joints_to_ign == [1, 2]
+
+    def test_save_roundtrip(self, tmp_path):
+        cfg = load_config("cfg/fit_smplx_combined_halpe.yaml")
+        p = tmp_path / "conf.yaml"
+        save_config(cfg, str(p))
+        cfg2 = load_config(str(p))
+        assert cfg2 == cfg
+
+    def test_unknown_keys_warn(self, tmp_path):
+        p = tmp_path / "c.yaml"
+        p.write_text("format: coco25\nuse_cuda: true\n")
+        with pytest.warns(UserWarning, match="use_cuda"):
+            cfg = load_config(str(p))
+        assert cfg.format == "coco25"
