@@ -84,3 +84,58 @@ class TestDemoEndToEnd:
         assert np.isfinite(result.losses).all()
         d = load_result_pickle(result.result_files[0])
         assert d["body_pose"].shape == (1, 63)  # decoded from the latent
+
+
+class TestGenderGroupedRun:
+    def test_mixed_genders_fit_in_groups(self, tmp_path):
+        """Frames with different gender annotations fit as separate batches."""
+        import json
+        import struct as _s, zlib, binascii
+
+        def tiny_png(path, w=64, h=48):
+            sig = b"\x89PNG\r\n\x1a\n"
+            ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            def chunk(tag, data):
+                c = tag + data
+                return _s.pack(">I", len(data)) + c + _s.pack(
+                    ">I", binascii.crc32(c) & 0xFFFFFFFF)
+            raw = zlib.compress(b"".join(b"\x00" + b"\x00" * (3 * w)
+                                          for _ in range(h)))
+            with open(path, "wb") as f:
+                f.write(sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
+                        + chunk(b"IEND", b""))
+
+        data = tmp_path / "data"
+        (data / "images").mkdir(parents=True)
+        (data / "keypoints").mkdir()
+        rng = np.random.default_rng(0)
+        for name, gender in [("a", "male"), ("b", "female"), ("c", "male")]:
+            tiny_png(data / "images" / f"{name}.png")
+            person = {
+                "person_id": [-1],
+                "gender_pd": gender,
+                "pose_keypoints_2d": rng.uniform(5, 60, 25 * 3).tolist(),
+                "hand_left_keypoints_2d": rng.uniform(5, 60, 21 * 3).tolist(),
+                "hand_right_keypoints_2d": rng.uniform(5, 60, 21 * 3).tolist(),
+                "face_keypoints_2d": rng.uniform(5, 60, 70 * 3).tolist(),
+            }
+            with open(data / "keypoints" / f"{name}_keypoints.json", "w") as f:
+                json.dump({"people": [person]}, f)
+
+        cfg = load_config(
+            "cfg/fit_smplx_combined_coco25.yaml",
+            data_folder=str(data),
+            output_folder=str(tmp_path / "out"),
+            regression_prior=None,
+            use_camera_prior=False,
+            use_gender_classifier=False,
+            interpenetration=False,
+            use_conf_for_camera_init=False,
+            maxiters=2,
+            interactive=False,
+            synthetic_model=True,
+            synthetic_num_verts=96,
+        )
+        result = run(cfg)
+        assert sorted(result.names) == ["a", "b", "c"]
+        assert np.isfinite(result.losses).all()
