@@ -219,6 +219,7 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
             cfg, group_records, dataset.get_joint_weights(),
             regression=load_regression(group_records),
             vposer=vposer, gmm=gmm,
+            all_persons=cfg.fit_all_persons,
         )
         if cfg.resume_from:
             from smplifyx_tpu.fitting.checkpoint import warm_start_from_results

@@ -71,18 +71,36 @@ def prepare_batch(
     gmm=None,
     batch_size: Optional[int] = None,
     person_id: int = 0,
+    all_persons: bool = False,
 ) -> PreparedBatch:
-    """Build FrameData + x0 for a list of frames (padded to batch_size)."""
+    """Build FrameData + x0 for a list of frames (padded to batch_size).
+
+    By default only `person_id` (0) of each frame is fitted — the reference
+    quirk (main.py:245-246).  `all_persons=True` lifts that restriction by
+    turning every detected person into a batch row named
+    `<frame>/p<idx>` (capped by cfg.max_persons), which the batched design
+    makes free — another thing the per-image reference cannot express.
+    """
     settings = settings_from_config(cfg)
     K = len(base_joint_weights)
     nb = settings.num_body_kp
     names, rows, x0_rows = [], [], []
     img_sizes, focals = [], []
 
+    work = []
     for i, rec in enumerate(records):
-        if rec.keypoints.shape[0] <= person_id:
-            continue
-        kp = rec.keypoints[person_id]            # [K, 3]; person 0 only
+        if all_persons:
+            n = rec.keypoints.shape[0]
+            if cfg.max_persons > 0:
+                n = min(n, cfg.max_persons)
+            for pid in range(n):
+                work.append((i, rec, pid, f"{rec.fn}/p{pid}" if n > 1 else rec.fn))
+        else:
+            if rec.keypoints.shape[0] > person_id:
+                work.append((i, rec, person_id, rec.fn))
+
+    for i, rec, pid, row_name in work:
+        kp = rec.keypoints[pid]                  # [K, 3]
         assert kp.shape[0] == K, (kp.shape, K)
         H, W = rec.img_size
         focal = cfg.focal_length or float(np.sqrt(W * W + H * H))
@@ -143,7 +161,7 @@ def prepare_batch(
             else np.zeros(settings.body_dim, np.float32),
         ))
         x0_rows.append(dict(cam_t=cam_t0, global_orient=global0, body=body0))
-        names.append(rec.fn)
+        names.append(row_name)
         img_sizes.append((H, W))
         focals.append(focal)
 

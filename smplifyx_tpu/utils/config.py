@@ -115,6 +115,9 @@ class Config:
     use_gender_classifier: bool = False
     homogeneous_ckpt: str = ""
     max_persons: int = 3
+    # Fit every detected person (up to max_persons) instead of person 0 only
+    # (the reference's quirk, main.py:245-246).
+    fit_all_persons: bool = False
     degrees: List[float] = field(default_factory=lambda: [0, 90, 180, 270])
     # Use a synthetic body model instead of loading SMPLX_{GENDER}.npz —
     # lets the full pipeline run where the licensed artifacts are absent.

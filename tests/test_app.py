@@ -139,3 +139,54 @@ class TestGenderGroupedRun:
         result = run(cfg)
         assert sorted(result.names) == ["a", "b", "c"]
         assert np.isfinite(result.losses).all()
+
+
+class TestMultiPerson:
+    def test_all_persons_become_batch_rows(self, tmp_path):
+        import json
+        import struct as _s, zlib, binascii
+
+        def tiny_png(path, w=64, h=48):
+            sig = b"\x89PNG\r\n\x1a\n"
+            ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            def chunk(tag, data):
+                c = tag + data
+                return _s.pack(">I", len(data)) + c + _s.pack(
+                    ">I", binascii.crc32(c) & 0xFFFFFFFF)
+            raw = zlib.compress(b"".join(b"\x00" + b"\x00" * (3 * w)
+                                          for _ in range(h)))
+            with open(path, "wb") as f:
+                f.write(sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
+                        + chunk(b"IEND", b""))
+
+        data = tmp_path / "data"
+        (data / "images").mkdir(parents=True)
+        (data / "keypoints").mkdir()
+        tiny_png(data / "images" / "crowd.png")
+        rng = np.random.default_rng(3)
+        people = []
+        for _ in range(3):
+            people.append({
+                "person_id": [-1],
+                "pose_keypoints_2d": rng.uniform(5, 60, 25 * 3).tolist(),
+                "hand_left_keypoints_2d": rng.uniform(5, 60, 21 * 3).tolist(),
+                "hand_right_keypoints_2d": rng.uniform(5, 60, 21 * 3).tolist(),
+                "face_keypoints_2d": rng.uniform(5, 60, 70 * 3).tolist(),
+            })
+        with open(data / "keypoints" / "crowd_keypoints.json", "w") as f:
+            json.dump({"people": people}, f)
+
+        cfg = load_config(
+            "cfg/fit_smplx_combined_coco25.yaml",
+            data_folder=str(data),
+            output_folder=str(tmp_path / "out"),
+            regression_prior=None, use_camera_prior=False,
+            use_gender_classifier=False, interpenetration=False,
+            use_conf_for_camera_init=False,
+            maxiters=2, interactive=False,
+            synthetic_model=True, synthetic_num_verts=96,
+            fit_all_persons=True, max_persons=2,   # cap at 2 of the 3
+        )
+        result = run(cfg)
+        assert sorted(result.names) == ["crowd/p0", "crowd/p1"]
+        assert all(os.path.exists(p) for p in result.result_files)
