@@ -29,6 +29,20 @@ NUM_FACES = 20908
 NUM_EXPR_TOTAL = 100  # expression columns in the npz shapedirs
 SHAPE_SPACE_DIM = 300
 
+# Kinematic parents of the supported model families (public topology,
+# required to rebuild the rigid transform chains).
+SMPL_PARENTS = np.array(
+    [-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17,
+     18, 19, 20, 21],
+    dtype=np.int32,
+)
+SMPLH_PARENTS = np.array(
+    [-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18, 19,
+     20, 22, 23, 20, 25, 26, 20, 28, 29, 20, 31, 32, 20, 34, 35,   # left hand
+     21, 37, 38, 21, 40, 41, 21, 43, 44, 21, 46, 47, 21, 49, 50],  # right hand
+    dtype=np.int32,
+)
+
 # SMPL-X kinematic parents (public model topology; reproduced from the model
 # definition, required to rebuild the rigid transform chain).
 SMPLX_PARENTS = np.array(
@@ -221,18 +235,29 @@ def synthetic_model(
     num_pca_comps: int = 12,
     seed: int = 0,
     dtype=jnp.float32,
+    model_type: str = "smplx",
 ) -> SMPLXModel:
-    """Build a structurally-complete synthetic SMPL-X model.
+    """Build a structurally-complete synthetic body model.
 
-    Same kinematic tree (55 joints), hand PCA space, landmark machinery and
-    field layout as the real artifact, but with `num_verts` random vertices.
+    model_type selects the family: 'smplx' (55 joints, hands PCA, face
+    landmarks), 'smplh' (52 joints, hands PCA, no face), 'smpl' (24 joints,
+    no hands/face) — the families the reference's model_type flag accepts
+    (cmd_parser.py:94-97).
+
+    Same kinematic tree, hand PCA space, landmark machinery and
+    field layout as the real artifacts, but with `num_verts` random vertices.
     Magnitudes are chosen so that fitting energies are well-conditioned:
     template ~ human-sized (meters), blendshapes ~ cm-scale.
     """
     rng = np.random.default_rng(seed)
     V = num_verts
-    J = NUM_JOINTS
-    parents = tuple(int(v) for v in SMPLX_PARENTS)
+    parents_by_type = {
+        "smplx": SMPLX_PARENTS, "smplh": SMPLH_PARENTS, "smpl": SMPL_PARENTS
+    }
+    parents_np = parents_by_type[model_type]
+    J = len(parents_np)
+    has_face = model_type == "smplx"
+    parents = tuple(int(v) for v in parents_np)
 
     v_template = rng.normal(scale=0.25, size=(V, 3)).astype(np.float32)
     v_template[:, 1] *= 2.0  # taller than wide, human-ish aspect
@@ -264,19 +289,27 @@ def synthetic_model(
     hand_comp_r = rng.normal(scale=0.5, size=(num_pca_comps, 45)).astype(np.float32)
     hand_mean = rng.normal(scale=0.1, size=(2, 45)).astype(np.float32)
 
-    extra_vids = rng.choice(V, size=len(SMPLX_EXTRA_JOINT_VIDS), replace=V < 21)
-    lmk_faces = rng.integers(0, num_faces, size=(51,)).astype(np.int32)
-    lmk_bary = rng.dirichlet(np.ones(3), size=(51,)).astype(np.float32)
-    L = 79  # yaw buckets, same as the real table
+    # extras: smplx/smplh get face/feet + finger tips (21); smpl gets the
+    # 11 face/feet picks only (matches the annotation tables' index layout).
+    n_extras = 21 if model_type in ("smplx", "smplh") else 11
+    extra_vids = rng.choice(V, size=n_extras, replace=V < n_extras)
+    n_lmk = 51 if has_face else 0
+    lmk_faces = rng.integers(0, num_faces, size=(n_lmk,)).astype(np.int32)
+    lmk_bary = (rng.dirichlet(np.ones(3), size=(n_lmk,)).astype(np.float32)
+                if n_lmk else np.zeros((0, 3), np.float32))
+    L = 79 if has_face else 1  # yaw buckets, same as the real table
     # The real SMPL-X contour tables vary *smoothly* across yaw buckets; a
     # random per-bucket table would make the fitting energy discontinuous in
     # head yaw (bucket switches would teleport 17 landmarks), which stalls
     # any line search.  Use one table tiled over all buckets.
+    n_dyn = 17 if has_face else 0
     dyn_faces = np.tile(
-        rng.integers(0, num_faces, size=(1, 17)).astype(np.int32), (L, 1)
+        rng.integers(0, num_faces, size=(1, n_dyn)).astype(np.int32), (L, 1)
     )
     dyn_bary = np.tile(
-        rng.dirichlet(np.ones(3), size=(1, 17)).astype(np.float32), (L, 1, 1)
+        rng.dirichlet(np.ones(3), size=(1, n_dyn)).astype(np.float32)
+        if n_dyn else np.zeros((1, 0, 3), np.float32),
+        (L, 1, 1),
     )
 
     return SMPLXModel(

@@ -215,20 +215,39 @@ def smplx_forward(
     V = model.num_verts
     J = model.num_joints
 
-    # --- hands: PCA -> full axis-angle [B, 45]
-    if use_pca:
-        lhand = params.left_hand_pose @ model.left_hand_components
-        rhand = params.right_hand_pose @ model.right_hand_components
-    else:
-        lhand, rhand = params.left_hand_pose, params.right_hand_pose
-    if not flat_hand_mean:
-        lhand = lhand + model.left_hand_mean
-        rhand = rhand + model.right_hand_mean
+    # --- family-specific full-pose assembly (reference model_type flag:
+    # smpl=24 joints, smplh=52, smplx=55; cmd_parser.py:94-97).
+    if J in (52, 55):
+        # hands: PCA -> full axis-angle [B, 45]
+        if use_pca:
+            lhand = params.left_hand_pose @ model.left_hand_components
+            rhand = params.right_hand_pose @ model.right_hand_components
+        else:
+            lhand, rhand = params.left_hand_pose, params.right_hand_pose
+        if not flat_hand_mean:
+            lhand = lhand + model.left_hand_mean
+            rhand = rhand + model.right_hand_mean
 
-    full_pose = jnp.concatenate(
-        [params.global_orient, params.body_pose, params.jaw_pose,
-         params.leye_pose, params.reye_pose, lhand, rhand], axis=-1,
-    )  # [B, 165]
+    if J == 55:  # SMPL-X
+        full_pose = jnp.concatenate(
+            [params.global_orient, params.body_pose, params.jaw_pose,
+             params.leye_pose, params.reye_pose, lhand, rhand], axis=-1,
+        )  # [B, 165]
+    elif J == 52:  # SMPL-H: no face joints
+        full_pose = jnp.concatenate(
+            [params.global_orient, params.body_pose, lhand, rhand], axis=-1,
+        )  # [B, 156]
+    elif J == 24:  # SMPL: 23 body joints incl. wrists, no hands/face
+        assert params.body_pose.shape[-1] == 69, (
+            "SMPL expects a 69-dof body pose (23 joints); pad VPoser's 63 "
+            "with zero wrists — the reference's append_wrists behavior "
+            "(fitting.py:242-246)"
+        )
+        full_pose = jnp.concatenate(
+            [params.global_orient, params.body_pose], axis=-1,
+        )  # [B, 72]
+    else:
+        raise ValueError(f"Unsupported joint count {J}")
 
     # --- blendshapes
     shape_coeffs = jnp.concatenate([params.betas, params.expression], axis=-1)
@@ -264,9 +283,9 @@ def smplx_forward(
         # of the TPU's slow gather path).
         extra_lmk = jnp.einsum(
             "ev,bvc->bec", model.extra_lmk_matrix, vertices
-        )  # [B, 21 + 51, 3]
+        )  # [B, n_extras + n_lmk, 3]
         parts = [posed_joints, extra_lmk]
-        if use_face_contour:
+        if use_face_contour and model.dyn_lmk_faces_idx.shape[1] > 0:
             bucket = _head_yaw_bucket(
                 rot_mats, model.neck_kin_chain, model.dyn_lmk_faces_idx.shape[0]
             )

@@ -171,3 +171,47 @@ class TestJointMapping:
     def test_parents_tree_valid(self):
         assert SMPLX_PARENTS[0] == -1
         assert all(SMPLX_PARENTS[j] < j for j in range(1, 55))
+
+
+class TestModelFamilies:
+    """SMPL (24 joints) and SMPL-H (52) forwards against the numpy golden."""
+
+    def _golden_check(self, model_type, body_dim, J, num_out):
+        model = synthetic_model(num_verts=64, seed=5, model_type=model_type)
+        rng = np.random.default_rng(6)
+        B = 2
+        params = BodyParams.zeros(B)
+        params = params.replace(
+            body_pose=jnp.asarray(rng.normal(0, 0.2, (B, body_dim)),
+                                  jnp.float32),
+            betas=jnp.asarray(rng.normal(0, 0.5, (B, 10)), jnp.float32),
+        )
+        out = smplx_forward(model, params, use_face_contour=False,
+                            flat_hand_mean=True)
+        assert out.joints.shape == (B, num_out, 3)
+        for b in range(B):
+            fp = np.asarray(out.full_pose[b], np.float64)
+            assert fp.shape == (J * 3,)
+            verts_np, joints_np = np_smplx_forward(
+                model, fp, np.asarray(params.betas[b]),
+                np.asarray(params.expression[b]),
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.vertices[b]), verts_np, atol=2e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.joints[b, :J]), joints_np, atol=2e-5
+            )
+
+    def test_smpl(self):
+        # 24 joints + 11 extras, no face landmarks
+        self._golden_check("smpl", body_dim=69, J=24, num_out=24 + 11)
+
+    def test_smplh(self):
+        # 52 joints + 21 extras
+        self._golden_check("smplh", body_dim=63, J=52, num_out=52 + 21)
+
+    def test_smpl_mapping_table(self):
+        jm = model_to_annotation("smpl", False, False, False, "coco25")
+        assert len(jm) == 25
+        assert jm.max() <= 34  # 24 joints + 11 extras
