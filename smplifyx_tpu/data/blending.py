@@ -23,7 +23,7 @@ import json
 import os
 import os.path as osp
 from glob import glob
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -103,6 +103,21 @@ def load_heuristics(heuristics_dir: str) -> dict[str, np.ndarray]:
     return out
 
 
+def identity_heuristics() -> dict[str, np.ndarray]:
+    """Calibration that maps MMPose confidences through unchanged.
+
+    Useful when the SHHQ-derived statistics JSONs are unavailable: blending
+    then degrades gracefully to raw argmax-confidence selection (z-scoring
+    with equal means/stds is the identity map)."""
+    n = len(pair_names())
+    return {
+        "openpose_means": np.full(n, 0.5, np.float32),
+        "openpose_stds": np.full(n, 1.0, np.float32),
+        "mmpose_means": np.full(n, 0.5, np.float32),
+        "mmpose_stds": np.full(n, 1.0, np.float32),
+    }
+
+
 def blend_keypoints(
     openpose_kp: np.ndarray,   # [135, 3] or [P, 135, 3]
     mmpose_kp: np.ndarray,     # [136, 3] or [P, 136, 3]
@@ -167,10 +182,13 @@ def blend_directory(
     openpose_dir: str,
     mmpose_dir: str,
     out_dir: str,
-    heuristics_dir: str,
+    heuristics_dir: Optional[str] = None,
 ) -> list[str]:
-    """Batch driver mirroring reference blending() — every image written."""
-    heur = load_heuristics(heuristics_dir)
+    """Batch driver mirroring reference blending() — every image written.
+
+    Without a heuristics dir the identity calibration is used."""
+    heur = (load_heuristics(heuristics_dir) if heuristics_dir
+            else identity_heuristics())
     os.makedirs(out_dir, exist_ok=True)
     written = []
     for fn in sorted(glob(osp.join(images_dir, "*"))):

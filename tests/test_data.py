@@ -282,3 +282,35 @@ class TestNativeParser:
         rec = ds[0]
         assert rec.gender_pd == ["female"]
         assert rec.keypoints.shape == (1, 135, 3)
+
+
+class TestBlendDirectory:
+    def test_directory_driver_identity_heuristics(self, tmp_path):
+        from smplifyx_tpu.data.blending import (
+            blend_directory, write_openpose_json,
+        )
+        (tmp_path / "images").mkdir()
+        (tmp_path / "op").mkdir()
+        (tmp_path / "mm").mkdir()
+        rng = np.random.default_rng(5)
+        for name in ("x", "y"):
+            (tmp_path / "images" / f"{name}.jpg").write_bytes(b"")
+            # OpenPose file (25 body + 70 face layout)
+            make_openpose_json(tmp_path / "op" / f"{name}_keypoints.json")
+            # MMPose file: 26 body keypoints (Halpe)
+            person = {
+                "pose_keypoints_2d": rng.uniform(0, 10, 26 * 3).tolist(),
+                "hand_left_keypoints_2d": rng.uniform(0, 10, 21 * 3).tolist(),
+                "hand_right_keypoints_2d": rng.uniform(0, 10, 21 * 3).tolist(),
+                "face_keypoints_2d": rng.uniform(0, 10, 68 * 3).tolist(),
+            }
+            with open(tmp_path / "mm" / f"{name}_mmpose.json", "w") as f:
+                json.dump({"people": [person]}, f)
+
+        written = blend_directory(
+            str(tmp_path / "images"), str(tmp_path / "op"),
+            str(tmp_path / "mm"), str(tmp_path / "out"), None,
+        )
+        assert len(written) == 2  # every image written (module bug fixed)
+        kp = read_keypoints(written[0], True, True, True)
+        assert kp.keypoints.shape == (1, 135, 3)
