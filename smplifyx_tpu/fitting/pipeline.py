@@ -138,6 +138,7 @@ def fit_batch(
             fun = lambda z: smplify_energy(
                 z, settings, model, frame, w, stage_idx, num_stages,
                 decode_body, joint_map, gmm=gmm, collision_fn=collision_fn,
+                joints_model=joints_model,
             )
             return minimize(fun, xx, mask=body_mask, cfg=options.lbfgs)
 
