@@ -232,11 +232,17 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
             x0_np[: len(found)][found] = x_prev[found]
             batch.x0 = x0_np
 
+        coll_stage_mask = None
+        if cfg.interpenetration:
+            weights = cfg.coll_loss_weights or [0.0] * cfg.num_stages
+            coll_stage_mask = tuple(float(v) > 0 for v in weights)
+
         fitted = jax.jit(
             lambda model, joints_model, frames, x0: fit_batch(
                 model, settings, options, schedule, frames, x0,
                 decode_body, joint_map, gmm=gmm, edge_idxs=edge_idxs,
                 collision_fn=collision_fn, joints_model=joints_model,
+                coll_stage_mask=coll_stage_mask,
             )
         )
         res = fitted(group_model, joints_model, batch.frames,

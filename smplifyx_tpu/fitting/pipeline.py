@@ -77,11 +77,19 @@ def fit_batch(
     edge_idxs: Optional[jax.Array] = None,
     collision_fn: Optional[Callable] = None,
     joints_model=None,
+    coll_stage_mask: Optional[tuple] = None,
 ) -> FitResult:
     """Fit a batch of frames.  Fully jit-able; vmap/pjit-friendly.
 
     `decode_body` maps [*, body_dim] -> [*, 63] (identity reshape or VPoser).
     `stage_weights` leaves are stacked along a leading stage axis S.
+
+    `coll_stage_mask` (static tuple[bool], one per stage) marks which stages
+    actually apply the collision penalty: all four reference presets run
+    interpenetration only in their LAST stages (coll_loss_weights start at
+    0), so earlier stages can use the ~3x-cheaper joints-only energy even in
+    collision-enabled configs.  Stages are grouped into consecutive runs of
+    equal mask value, one lax.scan per run (2 compiled stage bodies max).
     """
     B, D = x0.shape
     num_stages = jax.tree_util.tree_leaves(stage_weights)[0].shape[0]
@@ -131,23 +139,57 @@ def fit_batch(
         frames2 = frames
 
     # ---- body stages: scan over the weight schedule --------------------
-    def stage_step(x, scan_in):
-        stage_idx, w = scan_in
+    def make_stage_step(with_collision: bool):
+        # Without collision in this group, the joints-only sparse energy is
+        # valid (settings.interpenetration only gates the sparse path, so
+        # override it per group via a shallow settings copy).
+        group_settings = settings
+        if settings.interpenetration and not with_collision:
+            group_settings = settings.replace(interpenetration=False)
 
-        def fit_one(xx, frame):
-            fun = lambda z: smplify_energy(
-                z, settings, model, frame, w, stage_idx, num_stages,
-                decode_body, joint_map, gmm=gmm, collision_fn=collision_fn,
-                joints_model=joints_model,
-            )
-            return minimize(fun, xx, mask=body_mask, cfg=options.lbfgs)
+        def stage_step(x, scan_in):
+            stage_idx, w = scan_in
 
-        res = jax.vmap(fit_one)(x, frames2)
-        return res.x, res.f
+            def fit_one(xx, frame):
+                fun = lambda z: smplify_energy(
+                    z, group_settings, model, frame, w, stage_idx, num_stages,
+                    decode_body, joint_map, gmm=gmm,
+                    collision_fn=collision_fn if with_collision else None,
+                    joints_model=joints_model,
+                )
+                return minimize(fun, xx, mask=body_mask, cfg=options.lbfgs)
 
-    x_final, stage_losses = jax.lax.scan(
-        stage_step, xs, (jnp.arange(num_stages), stage_weights)
-    )
+            res = jax.vmap(fit_one)(x, frames2)
+            return res.x, res.f
+
+        return stage_step
+
+    if coll_stage_mask is None:
+        coll_stage_mask = tuple(
+            [settings.interpenetration and collision_fn is not None]
+            * num_stages
+        )
+    assert len(coll_stage_mask) == num_stages
+
+    # Group consecutive stages with the same collision flag.
+    groups = []
+    start = 0
+    for i in range(1, num_stages + 1):
+        if i == num_stages or coll_stage_mask[i] != coll_stage_mask[start]:
+            groups.append((start, i, coll_stage_mask[start]))
+            start = i
+
+    x_cur = xs
+    loss_chunks = []
+    for lo, hi, with_coll in groups:
+        w_group = jax.tree_util.tree_map(lambda a: a[lo:hi], stage_weights)
+        x_cur, losses = jax.lax.scan(
+            make_stage_step(with_coll), x_cur,
+            (jnp.arange(lo, hi), w_group),
+        )
+        loss_chunks.append(losses)
+    x_final = x_cur
+    stage_losses = jnp.concatenate(loss_chunks, axis=0)
     final_loss = stage_losses[-1]
 
     # ---- orientation selection -----------------------------------------
