@@ -86,6 +86,15 @@ def build_problem(B: int, V: int = 10475):
 
 def main():
     import jax
+
+    # Persistent compilation cache: the full-fit program takes minutes to
+    # compile through the remote-compile tunnel; repeated runs in the same
+    # container reuse the executable.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from smplifyx_tpu.fitting.lbfgs import LBFGSConfig
