@@ -121,57 +121,101 @@ def make_collision_fn(
 
     def collision_penalty(vertices: jax.Array) -> jax.Array:
         tris = vertices[faces]                      # [F, 3, 3]
+        tris9 = tris.reshape(F, 9)  # rows: (x0 y0 z0 x1 y1 z1 x2 y2 z2)
 
         # ---- broad phase (no gradients) --------------------------------
+        # Sweep structure: after sorting by AABB x-min, each triangle's
+        # candidates are exactly the next W rows — CONTIGUOUS in sorted
+        # order.  So one [F, *] permutation gather + W rolls replace ~40
+        # windowed [F, W] gathers per evaluation (TPU gathers are the
+        # dominant cost of this term; rolls are cheap rotations).
         tris_ng = jax.lax.stop_gradient(tris)
         aabb_min = jnp.min(tris_ng, axis=1)         # [F, 3]
         aabb_max = jnp.max(tris_ng, axis=1)
         order = jnp.argsort(aabb_min[:, 0])         # sweep along x
-        idx_a = order[:, None]                                   # [F, 1]
-        offs = jnp.arange(1, W + 1)[None, :]                     # [1, W]
-        pos_b = jnp.arange(F)[:, None] + offs                    # [F, W]
-        in_range = pos_b < F
-        pos_b = jnp.minimum(pos_b, F - 1)
-        idx_b = order[pos_b]                                     # [F, W]
 
-        min_a, max_a = aabb_min[idx_a], aabb_max[idx_a]          # [F,1,3]
-        min_b, max_b = aabb_min[idx_b], aabb_max[idx_b]          # [F,W,3]
-        overlap = jnp.all(
-            (min_b <= max_a) & (max_b >= min_a), axis=-1
-        ) & in_range                                             # [F, W]
+        tris9_s = tris9[order]                      # [F, 9] (differentiable)
+        aabb_min_s = jax.lax.stop_gradient(aabb_min[order])
+        aabb_max_s = jax.lax.stop_gradient(aabb_max[order])
+
+        row = jnp.arange(F)[:, None]
+        offs = jnp.arange(1, W + 1)[None, :]
+        in_range = (row + offs) < F                 # [F, W]
+
+        def windows(col):
+            """col [F] -> [F, W]: col[i + w + 1] via rolls (garbage rows
+            beyond F are masked by in_range)."""
+            return jnp.stack(
+                [jnp.roll(col, -(w + 1)) for w in range(W)], axis=1
+            )
+
+        overlap = in_range
+        for k in range(3):
+            min_a_k = aabb_min_s[:, k][:, None]
+            max_a_k = aabb_max_s[:, k][:, None]
+            min_b_k = windows(aabb_min_s[:, k])
+            max_b_k = windows(aabb_max_s[:, k])
+            overlap &= (min_b_k <= max_a_k) & (max_b_k >= min_a_k)
 
         if segm_j is not None:
-            overlap &= _pair_part_mask(
-                segm_j, parents_j, ign, idx_a, idx_b
-            )
+            sa = segm_j[order][:, None]
+            pa = parents_j[order][:, None]
+            sb = windows(segm_j[order])
+            pb = windows(parents_j[order])
+            drop = (sa == sb) | (pa == sb) | (pb == sa)
+            for p, q in ign:
+                drop |= ((sa == p) & (sb == q)) | ((sa == q) & (sb == p))
+            overlap &= ~drop
 
         # ---- narrow phase: differentiable cone field --------------------
-        tri_a = tris[idx_a[:, 0]]                                # [F, 3, 3]
-        tri_b = tris[idx_b]                                      # [F, W, 3, 3]
+        # Layout note: tensors shaped [..., 3, 3] pad to TPU (4, 128) tiles —
+        # a ~57x memory blowup that OOMs the backward at batch.  The field
+        # is therefore computed on [F, W] coordinate PLANES.
+        # a-planes broadcast [F, 1]; b-planes [F, W] via the same rolls
+        a9 = [tris9_s[:, k][:, None] for k in range(9)]
+        b9 = [windows(tris9_s[:, k]) for k in range(9)]
 
-        def field_terms(tri_src, pts):
-            # tri_src [..., 3, 3]; pts [..., P, 3]
-            c = jnp.mean(tri_src, axis=-2)
-            e1 = tri_src[..., 1, :] - tri_src[..., 0, :]
-            e2 = tri_src[..., 2, :] - tri_src[..., 0, :]
-            n = jnp.cross(e1, e2)
-            n_norm = jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
-            n = n / n_norm
-            rv = tri_src - c[..., None, :]
-            r = jnp.max(
-                jnp.sqrt(jnp.sum(rv * rv, axis=-1) + 1e-12), axis=-1
-            )
-            phi = _cone_phi(
-                pts, c[..., None, :], n[..., None, :], r[..., None],
-                sigma, penalize_outside,
-            )
-            return jnp.sum(phi * phi, axis=-1)
+        def cone_terms(src9, pts9):
+            """Penalty of pts (3 corners) against src triangles' cones.
+            src9/pts9: lists of 9 [F, ...] planes; returns [F, W]."""
+            # centroid + edges of the source triangles, per coordinate
+            c = [(src9[k] + src9[3 + k] + src9[6 + k]) / 3.0 for k in range(3)]
+            e1 = [src9[3 + k] - src9[k] for k in range(3)]
+            e2 = [src9[6 + k] - src9[k] for k in range(3)]
+            # normal = e1 x e2
+            n = [e1[1] * e2[2] - e1[2] * e2[1],
+                 e1[2] * e2[0] - e1[0] * e2[2],
+                 e1[0] * e2[1] - e1[1] * e2[0]]
+            n_norm = jnp.sqrt(n[0] ** 2 + n[1] ** 2 + n[2] ** 2 + 1e-12)
+            n = [v / n_norm for v in n]
+            # circumradius: max corner distance from centroid
+            r = None
+            for corner in range(3):
+                d2 = sum((src9[3 * corner + k] - c[k]) ** 2 for k in range(3))
+                d = jnp.sqrt(d2 + 1e-12)
+                r = d if r is None else jnp.maximum(r, d)
 
-        # B's vertices against A's cone and vice versa.
-        pen_ab = field_terms(tri_a[:, None], tri_b)              # [F, W]
-        pen_ba = field_terms(tri_b, tri_a[:, None].repeat(W, 1)) # [F, W]
+            total = 0.0
+            for corner in range(3):
+                rel = [pts9[3 * corner + k] - c[k] for k in range(3)]
+                ax = sum(rel[k] * n[k] for k in range(3))
+                rad2 = sum((rel[k] - ax * n[k]) ** 2 for k in range(3))
+                rad = jnp.sqrt(rad2 + 1e-12)
+                radial = jax.nn.relu(1.0 - rad / jnp.maximum(r, 1e-9))
+                phi = jax.nn.relu(-ax / sigma) * radial
+                if penalize_outside:
+                    phi = phi + jax.nn.relu(1.0 - ax / sigma) * radial
+                total = total + phi * phi
+            return total
 
-        pen = (pen_ab + pen_ba) * overlap.astype(tris.dtype)
+        def narrow_phase(a9, b9):
+            pen_ab = cone_terms(a9, b9)   # B's corners in A's cone
+            pen_ba = cone_terms(b9, a9)   # A's corners in B's cone
+            return pen_ab + pen_ba
+
+        # Recompute in the backward instead of storing ~30 [F, W] planes.
+        pen = jax.checkpoint(narrow_phase)(a9, b9)
+        pen = pen * overlap.astype(tris.dtype)
         return jnp.sum(pen)
 
     return collision_penalty
