@@ -190,3 +190,31 @@ class TestMultiPerson:
         result = run(cfg)
         assert sorted(result.names) == ["crowd/p0", "crowd/p1"]
         assert all(os.path.exists(p) for p in result.result_files)
+
+
+class TestResume:
+    def test_warm_start_from_previous_run(self, tmp_path):
+        if not osp.isdir(REF_DEMO):
+            pytest.skip("reference demo not mounted")
+        common = dict(
+            data_folder=REF_DEMO,
+            expose_results_directory=osp.join(REF_DEMO, "ExPose_results"),
+            pixie_results_directory=osp.join(REF_DEMO, "PIXIE_results"),
+            use_gender_classifier=False, interpenetration=False,
+            interactive=False,
+        )
+        model = synthetic_model(num_verts=96, seed=0)
+        cfg1 = load_config("cfg/fit_smplx_combined_coco25.yaml",
+                           output_folder=str(tmp_path / "run1"),
+                           maxiters=4, **common)
+        r1 = run(cfg1, model=model)
+
+        cfg2 = load_config("cfg/fit_smplx_combined_coco25.yaml",
+                           output_folder=str(tmp_path / "run2"),
+                           resume_from=str(tmp_path / "run1" / "results"),
+                           maxiters=2, **common)
+        r2 = run(cfg2, model=model)
+        assert np.isfinite(r2.losses).all()
+        # warm-started run continues from the previous solution: its loss
+        # should not be dramatically worse than run 1's final loss
+        assert (r2.losses < 10 * r1.losses + 1e3).all()
