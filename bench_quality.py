@@ -1,0 +1,110 @@
+"""Quality benchmark: fitting accuracy against synthetic ground truth.
+
+Prints one JSON line with Procrustes-aligned V2V error (mm) of batched fits
+against known ground-truth bodies, under a regression-prior-like init (GT
+pose + noise at published regressor error levels, ~0.1 rad/joint — the
+production configs initialize from ExPose/PIXIE the same way).
+
+This is the artifact-free stand-in for the cropped-EHF protocol (the real
+EHF evaluation needs licensed meshes; evaluation/ehf.py implements it).
+
+Interpretation note: absolute values reflect the RANDOM synthetic body
+(random blendshapes make shape/pose partially ambiguous and the shape prior
+biases betas), not the real SMPL-X manifold — measured ~71 mm mean at the
+production budget vs ~75 mm with a 5x budget (i.e. the error floor is the
+synthetic landscape, not the optimizer or its budget).
+Run:  python bench_quality.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    import bench
+    from smplifyx_tpu.evaluation.metrics import procrustes_v2v
+    from smplifyx_tpu.fitting.lbfgs import LBFGSConfig
+    from smplifyx_tpu.fitting.params import pack, unpack
+    from smplifyx_tpu.fitting.pipeline import FitOptions, fit_batch, recover_outputs
+    from smplifyx_tpu.fitting.stages import build_stage_schedule
+    from smplifyx_tpu.models.forward import BodyParams, smplx_forward
+    from smplifyx_tpu.models.sparse import build_joints_model
+
+    B = 64
+    model, settings, frames, x0, joint_map = bench.build_problem(B)
+    joints_model = build_joints_model(model)
+
+    # Ground truth used by build_problem (same seeds).
+    rng = np.random.default_rng(0)
+    gt = BodyParams.zeros(B).replace(
+        body_pose=jnp.asarray(rng.normal(0, 0.12, (B, 63)), jnp.float32),
+        betas=jnp.asarray(rng.normal(0, 0.5, (B, 10)), jnp.float32),
+        global_orient=jnp.asarray(rng.normal(0, 0.1, (B, 3)), jnp.float32),
+    )
+    gt_out = smplx_forward(model, gt)
+
+    # Regression-like init: GT pose + 0.1 rad noise, unknown shape/camera.
+    rng2 = np.random.default_rng(42)
+    seg = unpack(settings, x0)
+    seg["global_orient"] = gt.global_orient + jnp.asarray(
+        rng2.normal(0, 0.05, (B, 3)), jnp.float32
+    )
+    seg["body"] = gt.body_pose + jnp.asarray(
+        rng2.normal(0, 0.1, (B, 63)), jnp.float32
+    )
+    x0 = pack(settings, **seg)
+
+    schedule = build_stage_schedule(
+        body_pose_prior_weights=[4.04e2, 57.4, 4.78],
+        shape_weights=[1e2, 1e1, 0.5e1], expr_weights=[1e2, 1e1, 0.5e1],
+        hand_pose_prior_weights=[1e2, 1e1, 0.5e1],
+        hand_joints_weights=[0.0, 0.0, 1.0],
+        face_joints_weights=[0.0, 0.0, 1.0],
+    )
+    options = FitOptions(
+        lbfgs=LBFGSConfig(max_iters=30, history=10, ftol=1e-9, gtol=1e-9,
+                          ls_soft_accept=6),
+        camera_lbfgs=LBFGSConfig(max_iters=15, history=8, ls_soft_accept=6),
+    )
+    fit = jax.jit(
+        lambda m, jm, f, x: fit_batch(
+            m, settings, options, schedule, f, x, lambda b: b, joint_map,
+            edge_idxs=jnp.asarray([[5, 12], [2, 9]]), joints_model=jm,
+        )
+    )
+    model_d = jax.device_put(model)
+    jm_d = jax.device_put(joints_model)
+
+    t0 = time.time()
+    res = fit(model_d, jm_d, frames, x0)
+    out, _, _ = recover_outputs(model_d, settings, res.x, lambda b: b)
+    jax.block_until_ready(out.vertices)
+
+    v2v = np.asarray(procrustes_v2v(out.vertices, gt_out.vertices))
+    per_frame_mm = 1000.0 * v2v.mean(axis=-1)
+    print(json.dumps({
+        "metric": "synthetic_gt_pa_v2v_mm",
+        "value": round(float(per_frame_mm.mean()), 3),
+        "unit": "mm",
+        "p90_mm": round(float(np.percentile(per_frame_mm, 90)), 3),
+        "max_mm": round(float(per_frame_mm.max()), 3),
+        "num_frames": B,
+        "elapsed_s": round(time.time() - t0, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
