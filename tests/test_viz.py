@@ -111,3 +111,37 @@ class TestRenderPickle:
         img = render_result_pickle(str(pkl), model)
         assert img.shape == (64, 64, 3)
         assert img.dtype == np.uint8
+
+
+class TestBrowseCLI:
+    def test_browse_renders_overlays(self, tmp_path):
+        from smplifyx_tpu.models.bodymodel import synthetic_model
+        from smplifyx_tpu.utils.io import save_result_pickle
+        from smplifyx_tpu.viz import browse
+
+        frame_dir = tmp_path / "results" / "frameA"
+        frame_dir.mkdir(parents=True)
+        save_result_pickle(
+            str(frame_dir / "000.pkl"),
+            camera_translation=np.array([0, 0, 4.0], np.float32),
+            camera_center=np.array([32, 32], np.float32),
+            focal_length=100.0, H=64, W=64,
+            params={
+                "global_orient": np.zeros(3, np.float32),
+                "betas": np.zeros(10, np.float32),
+                "expression": np.zeros(10, np.float32),
+                "jaw_pose": np.zeros(3, np.float32),
+                "leye_pose": np.zeros(3, np.float32),
+                "reye_pose": np.zeros(3, np.float32),
+                "left_hand_pose": np.zeros(12, np.float32),
+                "right_hand_pose": np.zeros(12, np.float32),
+            },
+            body_pose=np.zeros(63, np.float32),
+        )
+        browse.main([
+            "--results", str(tmp_path / "results"),
+            "--out", str(tmp_path / "overlays"),
+            "--synthetic_model", "--synthetic_num_verts", "64",
+        ])
+        import os.path as osp
+        assert osp.exists(tmp_path / "overlays" / "frameA_overlay.png")
