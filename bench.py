@@ -101,7 +101,7 @@ def main():
     from smplifyx_tpu.fitting.pipeline import FitOptions, fit_batch
     from smplifyx_tpu.fitting.stages import build_stage_schedule
 
-    B = 64
+    B = 128  # sweep: 64->120 fps, 128->175, 256->164 (straggler growth)
     model, settings, frames, x0, joint_map = build_problem(B)
     from smplifyx_tpu.models.sparse import build_joints_model
 
