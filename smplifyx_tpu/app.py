@@ -207,10 +207,14 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
 
         collision_fn = None
         if cfg.interpenetration:
+            # window/max_pairs are oracle-calibrated (test_collision_oracle);
+            # the narrow-phase budget honors at least the reference's
+            # max_collisions (fit_single_frame.py:300-328, default 128).
             collision_fn = make_collision_fn(
                 group_model.faces, segm=segm, parents=parents,
                 ign_part_pairs=cfg.ign_part_pairs,
-                window=min(cfg.max_collisions, 64),
+                window=cfg.collision_window,
+                max_pairs=max(cfg.max_coll_pairs, cfg.max_collisions),
                 sigma=cfg.df_cone_height,
                 penalize_outside=cfg.penalize_outside,
             )

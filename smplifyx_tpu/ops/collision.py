@@ -1,25 +1,38 @@
-"""Self-intersection penalty: broad-phase AABB sweep + cone distance field.
+"""Self-intersection penalty: sorted-AABB sweep + pair compaction + cone field.
 
 TPU-native replacement for the reference's external CUDA torch-mesh-isect
 stack (SURVEY.md §2 row 14: BVH broad phase -> DistanceFieldPenetrationLoss
 -> FilterFaces, used at smplifyx/fitting.py:437-455 with the broad phase
 under no_grad).  A pointer-chasing BVH is hostile to TPUs, so the broad
-phase is re-designed as a sort-based sweep, which XLA compiles to dense
-vector ops:
+phase is re-designed around sorting and dense masks, and — new in round 2 —
+the narrow phase runs on a COMPACTED fixed-size pair list, which decouples
+its cost from the sweep window:
 
-  1. per-triangle AABBs; sort triangles by AABB x-min (jnp.sort);
-  2. each triangle tests the next `window` triangles in sorted order —
-     exactly the candidates whose x-intervals can overlap — then filters by
-     full AABB overlap (y/z) => a dense [F, window] candidate mask;
-  3. part filtering drops pairs within the same body part, parent-child
-     parts, and a configured ignore list (FilterFaces semantics, using the
-     smplx_parts_segm data: {segm[F], parents[F]});
-  4. a differentiable cone penetration field scores candidate pairs
+  1. per-triangle AABBs; pick the sweep axis as the mesh's largest-extent
+     axis (for a human that is the height axis, which minimizes the sorted
+     slab occupancy); sort triangles by AABB min along it;
+  2. each triangle tests the next `window` triangles in sorted order — the
+     only candidates whose sweep-axis intervals can overlap within the
+     window — then filters by full 3-axis AABB overlap and by part
+     (FilterFaces semantics: same part, parent part, configured ignore
+     list, using the smplx_parts_segm schema {segm[F], parents[F]});
+  3. surviving (i, j) pairs are compacted to a fixed budget `max_pairs`
+     with a shape-static nonzero — the analog of the reference BVH's
+     max_collisions cap (fit_single_frame.py:300-328, default 128 true
+     intersections; the broad-phase superset needs a larger budget);
+  4. a differentiable cone penetration field scores just those pairs,
      vertex-vs-triangle in both directions.
 
-Gradient structure mirrors the reference: the candidate search (steps 1-3)
-is wrapped in stop_gradient (reference: no_grad BVH, fitting.py:445-446);
-only the cone field (step 4) is differentiated.
+Gradient structure mirrors the reference: steps 1-3 carry no gradients
+(reference: no_grad BVH); only the cone field (4) is differentiated, through
+a [max_pairs, 9]-shaped gather of the live triangle coordinates.
+
+Window/budget calibration (tests/test_collision_oracle.py measures this
+against an exact all-pairs oracle on a ~21k-face posed-human proxy mesh with
+real self-contacts): the minimal lossless window along the largest-extent
+axis is ~500 and the surviving-pair count ~1.6k, so the defaults
+window=640 / max_pairs=4096 carry ~30% / ~2.5x margins.  The oracle test
+asserts the sweep finds EVERY surviving pair at those settings.
 
 The cone field is a re-design, not a translation of the CUDA kernel: for a
 vertex p against a triangle (centroid c, unit normal n, circumradius r),
@@ -61,39 +74,37 @@ def synthetic_part_segm(num_faces: int, num_parts: int = 27, seed: int = 0):
     return segm, parents
 
 
-def _pair_part_mask(
-    segm: jax.Array, parents: jax.Array, ign_pairs: Sequence[tuple[int, int]],
-    idx_a: jax.Array, idx_b: jax.Array,
-) -> jax.Array:
-    """True where the pair SURVIVES filtering (FilterFaces semantics)."""
-    sa, sb = segm[idx_a], segm[idx_b]
-    pa, pb = parents[idx_a], parents[idx_b]
-    drop = (sa == sb) | (pa == sb) | (pb == sa)
-    for p, q in ign_pairs:
-        drop |= ((sa == p) & (sb == q)) | ((sa == q) & (sb == p))
-    return ~drop
-
-
-def _cone_phi(
-    points: jax.Array,      # [..., 3]
-    centroid: jax.Array,    # [..., 3]
-    normal: jax.Array,      # [..., 3] unit
-    radius: jax.Array,      # [...]
+def _cone_penalty_pairs(
+    ta: jax.Array,            # [P, 3, 3] triangle A corners
+    tb: jax.Array,            # [P, 3, 3] triangle B corners
     sigma: float,
     penalize_outside: bool,
 ) -> jax.Array:
-    rel = points - centroid
-    ax = jnp.sum(rel * normal, axis=-1)
-    rad_vec = rel - ax[..., None] * normal
-    # eps-safe norm: sqrt has a NaN gradient at exactly 0, which happens for
-    # points on the cone axis (e.g. pairs of faces sharing a vertex).
-    rad = jnp.sqrt(jnp.sum(rad_vec * rad_vec, axis=-1) + 1e-12)
-    radial = jax.nn.relu(1.0 - rad / jnp.maximum(radius, 1e-9))
-    inside = jax.nn.relu(-ax / sigma) * radial
-    if penalize_outside:
-        outside = jax.nn.relu(1.0 - ax / sigma) * radial
-        return inside + outside
-    return inside
+    """Symmetric cone-field penalty per pair -> [P]."""
+
+    def one_way(src, pts):
+        c = src.mean(axis=1)                          # [P, 3]
+        e1 = src[:, 1] - src[:, 0]
+        e2 = src[:, 2] - src[:, 0]
+        n = jnp.cross(e1, e2)
+        n = n / jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
+        # circumradius proxy: max corner distance from the centroid
+        d2 = jnp.sum((src - c[:, None, :]) ** 2, axis=-1)  # [P, 3]
+        r = jnp.sqrt(jnp.max(d2, axis=-1) + 1e-12)         # [P]
+
+        rel = pts - c[:, None, :]                     # [P, 3, 3]
+        ax = jnp.sum(rel * n[:, None, :], axis=-1)    # [P, 3]
+        rad_vec = rel - ax[..., None] * n[:, None, :]
+        # eps-safe norm: sqrt has a NaN gradient at exactly 0 (points on
+        # the cone axis, e.g. pairs of faces sharing a vertex).
+        rad = jnp.sqrt(jnp.sum(rad_vec * rad_vec, axis=-1) + 1e-12)
+        radial = jax.nn.relu(1.0 - rad / jnp.maximum(r[:, None], 1e-9))
+        phi = jax.nn.relu(-ax / sigma) * radial
+        if penalize_outside:
+            phi = phi + jax.nn.relu(1.0 - ax / sigma) * radial
+        return jnp.sum(phi * phi, axis=-1)            # [P]
+
+    return one_way(ta, tb) + one_way(tb, ta)
 
 
 def make_collision_fn(
@@ -101,14 +112,20 @@ def make_collision_fn(
     segm: Optional[np.ndarray] = None,      # [F] part ids
     parents: Optional[np.ndarray] = None,   # [F] parent part ids
     ign_part_pairs: Sequence[str] = (),     # ["9,16", ...] reference format
-    window: int = 32,
+    window: int = 640,
+    max_pairs: int = 4096,
     sigma: float = 1e-4,
     penalize_outside: bool = True,
 ):
     """Build vertices [V,3] -> scalar penetration penalty.
 
-    `window` plays the role of the reference's max_collisions budget: it
-    bounds how many sorted neighbors each triangle may collide with.
+    `window` bounds how far apart (in sweep-sorted order) a colliding pair
+    may be; `max_pairs` is the fixed narrow-phase budget (the analog of the
+    reference's max_collisions).  Both are calibrated against an exact
+    oracle in tests/test_collision_oracle.py; pairs beyond the budget are
+    dropped silently, so keep max_pairs well above the expected candidate
+    count.  The returned function exposes `.candidate_pairs(vertices)`
+    -> (idx_a [P], idx_b [P], valid [P]) for tests/diagnostics.
     """
     ign = []
     for entry in ign_part_pairs:
@@ -116,106 +133,69 @@ def make_collision_fn(
         ign.append((p, q))
     segm_j = jnp.asarray(segm) if segm is not None else None
     parents_j = jnp.asarray(parents) if parents is not None else None
+    faces = jnp.asarray(faces)
     F = faces.shape[0]
     W = min(window, F - 1)
+    P = min(max_pairs, F * W)
 
-    def collision_penalty(vertices: jax.Array) -> jax.Array:
-        tris = vertices[faces]                      # [F, 3, 3]
-        tris9 = tris.reshape(F, 9)  # rows: (x0 y0 z0 x1 y1 z1 x2 y2 z2)
+    def candidate_pairs(vertices: jax.Array):
+        """Broad phase: -> (idx_a [P], idx_b [P], valid [P] bool).  No
+        gradients flow through any output."""
+        tris = jax.lax.stop_gradient(vertices[faces])   # [F, 3, 3]
+        aabb_min = jnp.min(tris, axis=1)                # [F, 3]
+        aabb_max = jnp.max(tris, axis=1)
 
-        # ---- broad phase (no gradients) --------------------------------
-        # Sweep structure: after sorting by AABB x-min, each triangle's
-        # candidates are exactly the next W rows — CONTIGUOUS in sorted
-        # order.  So one [F, *] permutation gather + W rolls replace ~40
-        # windowed [F, W] gathers per evaluation (TPU gathers are the
-        # dominant cost of this term; rolls are cheap rotations).
-        tris_ng = jax.lax.stop_gradient(tris)
-        aabb_min = jnp.min(tris_ng, axis=1)         # [F, 3]
-        aabb_max = jnp.max(tris_ng, axis=1)
-        order = jnp.argsort(aabb_min[:, 0])         # sweep along x
+        # Sweep along the largest-extent axis (the height axis for a
+        # standing/posed human): this minimizes how many triangles share a
+        # slab of the sort key, i.e. the window a true pair can span.
+        ext = jnp.max(aabb_max, axis=0) - jnp.min(aabb_min, axis=0)   # [3]
+        axis = jnp.argmax(ext)
+        key = aabb_min.T[axis]                          # [F] dynamic row
+        order = jnp.argsort(key)
 
-        tris9_s = tris9[order]                      # [F, 9] (differentiable)
-        aabb_min_s = jax.lax.stop_gradient(aabb_min[order])
-        aabb_max_s = jax.lax.stop_gradient(aabb_max[order])
+        amin_s = aabb_min[order]                        # [F, 3]
+        amax_s = aabb_max[order]
 
-        row = jnp.arange(F)[:, None]
-        offs = jnp.arange(1, W + 1)[None, :]
-        in_range = (row + offs) < F                 # [F, W]
+        row = jnp.arange(F)[:, None]                    # [F, 1]
+        offs = jnp.arange(1, W + 1)[None, :]            # [1, W]
+        nbr = row + offs                                # [F, W] sorted ranks
+        in_range = nbr < F
+        nbr_c = jnp.minimum(nbr, F - 1)
 
-        def windows(col):
-            """col [F] -> [F, W]: col[i + w + 1] via rolls (garbage rows
-            beyond F are masked by in_range)."""
-            return jnp.stack(
-                [jnp.roll(col, -(w + 1)) for w in range(W)], axis=1
-            )
-
-        overlap = in_range
-        for k in range(3):
-            min_a_k = aabb_min_s[:, k][:, None]
-            max_a_k = aabb_max_s[:, k][:, None]
-            min_b_k = windows(aabb_min_s[:, k])
-            max_b_k = windows(aabb_max_s[:, k])
-            overlap &= (min_b_k <= max_a_k) & (max_b_k >= min_a_k)
+        bmin = amin_s[nbr_c]                            # [F, W, 3]
+        bmax = amax_s[nbr_c]
+        overlap = in_range & jnp.all(
+            (bmin <= amax_s[:, None, :]) & (bmax >= amin_s[:, None, :]),
+            axis=-1,
+        )
 
         if segm_j is not None:
             sa = segm_j[order][:, None]
             pa = parents_j[order][:, None]
-            sb = windows(segm_j[order])
-            pb = windows(parents_j[order])
+            sb = segm_j[order][nbr_c]
+            pb = parents_j[order][nbr_c]
             drop = (sa == sb) | (pa == sb) | (pb == sa)
             for p, q in ign:
                 drop |= ((sa == p) & (sb == q)) | ((sa == q) & (sb == p))
             overlap &= ~drop
 
-        # ---- narrow phase: differentiable cone field --------------------
-        # Layout note: tensors shaped [..., 3, 3] pad to TPU (4, 128) tiles —
-        # a ~57x memory blowup that OOMs the backward at batch.  The field
-        # is therefore computed on [F, W] coordinate PLANES.
-        # a-planes broadcast [F, 1]; b-planes [F, W] via the same rolls
-        a9 = [tris9_s[:, k][:, None] for k in range(9)]
-        b9 = [windows(tris9_s[:, k]) for k in range(9)]
+        # Compaction: first P surviving pairs in row-major sorted order
+        # (shape-static nonzero; the analog of max_collisions).
+        flat = overlap.reshape(-1)
+        (pos,) = jnp.nonzero(flat, size=P, fill_value=0)
+        count = jnp.sum(flat)
+        valid = jnp.arange(P) < count
+        ra = pos // W                                   # rank of a
+        rb = jnp.minimum(ra + pos % W + 1, F - 1)       # rank of b
+        return order[ra], order[rb], valid
 
-        def cone_terms(src9, pts9):
-            """Penalty of pts (3 corners) against src triangles' cones.
-            src9/pts9: lists of 9 [F, ...] planes; returns [F, W]."""
-            # centroid + edges of the source triangles, per coordinate
-            c = [(src9[k] + src9[3 + k] + src9[6 + k]) / 3.0 for k in range(3)]
-            e1 = [src9[3 + k] - src9[k] for k in range(3)]
-            e2 = [src9[6 + k] - src9[k] for k in range(3)]
-            # normal = e1 x e2
-            n = [e1[1] * e2[2] - e1[2] * e2[1],
-                 e1[2] * e2[0] - e1[0] * e2[2],
-                 e1[0] * e2[1] - e1[1] * e2[0]]
-            n_norm = jnp.sqrt(n[0] ** 2 + n[1] ** 2 + n[2] ** 2 + 1e-12)
-            n = [v / n_norm for v in n]
-            # circumradius: max corner distance from centroid
-            r = None
-            for corner in range(3):
-                d2 = sum((src9[3 * corner + k] - c[k]) ** 2 for k in range(3))
-                d = jnp.sqrt(d2 + 1e-12)
-                r = d if r is None else jnp.maximum(r, d)
+    def collision_penalty(vertices: jax.Array) -> jax.Array:
+        idx_a, idx_b, valid = candidate_pairs(vertices)
+        tris = vertices[faces]                          # differentiable
+        ta = tris[idx_a]                                # [P, 3, 3]
+        tb = tris[idx_b]
+        pen = _cone_penalty_pairs(ta, tb, sigma, penalize_outside)
+        return jnp.sum(pen * valid.astype(pen.dtype))
 
-            total = 0.0
-            for corner in range(3):
-                rel = [pts9[3 * corner + k] - c[k] for k in range(3)]
-                ax = sum(rel[k] * n[k] for k in range(3))
-                rad2 = sum((rel[k] - ax * n[k]) ** 2 for k in range(3))
-                rad = jnp.sqrt(rad2 + 1e-12)
-                radial = jax.nn.relu(1.0 - rad / jnp.maximum(r, 1e-9))
-                phi = jax.nn.relu(-ax / sigma) * radial
-                if penalize_outside:
-                    phi = phi + jax.nn.relu(1.0 - ax / sigma) * radial
-                total = total + phi * phi
-            return total
-
-        def narrow_phase(a9, b9):
-            pen_ab = cone_terms(a9, b9)   # B's corners in A's cone
-            pen_ba = cone_terms(b9, a9)   # A's corners in B's cone
-            return pen_ab + pen_ba
-
-        # Recompute in the backward instead of storing ~30 [F, W] planes.
-        pen = jax.checkpoint(narrow_phase)(a9, b9)
-        pen = pen * overlap.astype(tris.dtype)
-        return jnp.sum(pen)
-
+    collision_penalty.candidate_pairs = candidate_pairs
     return collision_penalty

@@ -73,6 +73,11 @@ class Config:
     df_cone_height: float = 0.5
     penalize_outside: bool = False
     max_collisions: int = 8
+    # Sweep broad-phase calibration (tests/test_collision_oracle.py measures
+    # these against an exact all-pairs oracle at SMPL-X face count: minimal
+    # lossless window ~500, surviving pairs ~1.6k under heavy self-contact).
+    collision_window: int = 640
+    max_coll_pairs: int = 4096
     point2plane: bool = False
     ign_part_pairs: List[str] = field(default_factory=list)
 

@@ -1,0 +1,132 @@
+"""Exact-oracle audit of the collision broad phase at SMPL-X scale.
+
+VERDICT round-1 item 3: the sweep broad phase (sorted-AABB window) needed an
+all-pairs oracle cross-check on realistically posed geometry and a measured
+window-sufficiency margin.  These tests build a ~21k-face posed-human proxy
+with real self-contacts (smplifyx_tpu/utils/proxy_mesh.py), compute every
+AABB-overlapping pair surviving part filtering with O(F^2) numpy, and assert
+the production broad phase finds EXACTLY that set at the default
+window/max_pairs — plus they measure and bound the minimal lossless window.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from smplifyx_tpu.ops.collision import make_collision_fn
+from smplifyx_tpu.utils.proxy_mesh import (
+    build_posed_human, oracle_overlap_pairs,
+)
+
+
+def _pair_set(idx_a, idx_b, valid=None):
+    if valid is not None:
+        idx_a, idx_b = idx_a[valid], idx_b[valid]
+    lo = np.minimum(idx_a, idx_b)
+    hi = np.maximum(idx_a, idx_b)
+    return set(zip(lo.tolist(), hi.tolist()))
+
+
+class TestOracleSmall:
+    """Fast version (~3.4k faces) that runs on every CI pass."""
+
+    def test_sweep_equals_oracle(self):
+        verts, faces, segm, parents = build_posed_human(scale_faces=0.2)
+        oi, oj = oracle_overlap_pairs(verts, faces, segm, parents)
+        assert len(oi) > 50, "proxy mesh lost its self-contacts"
+
+        fn = make_collision_fn(
+            jnp.asarray(faces), segm=segm, parents=parents,
+            window=256, max_pairs=4096,
+        )
+        ia, ib, valid = fn.candidate_pairs(jnp.asarray(verts))
+        found = _pair_set(np.asarray(ia), np.asarray(ib), np.asarray(valid))
+        oracle = _pair_set(oi, oj)
+        missing = oracle - found
+        spurious = found - oracle
+        assert not missing, f"sweep lost {len(missing)} real pairs"
+        assert not spurious, f"sweep invented {len(spurious)} pairs"
+
+    def test_ignore_pairs_respected(self):
+        verts, faces, segm, parents = build_posed_human(scale_faces=0.2)
+        # forearm(4)-torso(1) contacts exist; ignoring the pair removes them
+        oi, oj = oracle_overlap_pairs(
+            verts, faces, segm, parents, ign_pairs=[(1, 4)]
+        )
+        assert not any(
+            {segm[a], segm[b]} == {1, 4} for a, b in zip(oi, oj)
+        )
+        fn = make_collision_fn(
+            jnp.asarray(faces), segm=segm, parents=parents,
+            ign_part_pairs=["1,4"], window=256, max_pairs=4096,
+        )
+        ia, ib, valid = fn.candidate_pairs(jnp.asarray(verts))
+        found = _pair_set(np.asarray(ia), np.asarray(ib), np.asarray(valid))
+        assert found == _pair_set(oi, oj)
+
+    def test_penalty_positive_on_contacts_zero_when_separated(self):
+        verts, faces, segm, parents = build_posed_human(scale_faces=0.2)
+        fn = make_collision_fn(
+            jnp.asarray(faces), segm=segm, parents=parents,
+            window=256, max_pairs=4096, sigma=0.01, penalize_outside=False,
+        )
+        assert float(fn(jnp.asarray(verts))) > 0.0
+        # Explode the parts apart -> nothing collides.
+        exploded = verts + segm_offsets(verts, faces, segm)
+        assert float(fn(jnp.asarray(exploded))) == 0.0
+
+
+def segm_offsets(verts, faces, segm):
+    """Per-vertex offsets pushing each part 10 m along its own direction."""
+    rng = np.random.default_rng(0)
+    part_dir = {p: rng.normal(size=3) * 10.0 for p in np.unique(segm)}
+    v_off = np.zeros_like(verts)
+    for f_idx in range(len(faces)):
+        for v_idx in faces[f_idx]:
+            v_off[v_idx] = part_dir[int(segm[f_idx])]
+    return v_off.astype(np.float32)
+
+
+@pytest.mark.slow
+class TestOracleFullScale:
+    """SMPL-X-scale audit: F ~= 21k (the reference's 20,908-face workload)."""
+
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        return build_posed_human(scale_faces=1.25)
+
+    def test_defaults_are_lossless(self, mesh):
+        verts, faces, segm, parents = mesh
+        assert 19000 < len(faces) < 23000
+        oi, oj = oracle_overlap_pairs(verts, faces, segm, parents)
+        assert len(oi) > 1000  # heavy self-contact scenario
+
+        fn = make_collision_fn(
+            jnp.asarray(faces), segm=segm, parents=parents,
+        )  # production defaults: window=640, max_pairs=4096
+        ia, ib, valid = fn.candidate_pairs(jnp.asarray(verts))
+        found = _pair_set(np.asarray(ia), np.asarray(ib), np.asarray(valid))
+        oracle = _pair_set(oi, oj)
+        missing = oracle - found
+        assert not missing, f"sweep lost {len(missing)}/{len(oracle)} pairs"
+        assert found == oracle
+        # Budget margin: stay well below max_pairs.
+        assert len(oracle) < 4096 * 0.75, len(oracle)
+
+    def test_window_sufficiency_margin(self, mesh):
+        """Measure the minimal lossless window along the chosen sweep axis
+        and assert the default (640) keeps >=20% margin."""
+        verts, faces, segm, parents = mesh
+        tris = verts[faces]
+        amin, amax = tris.min(1), tris.max(1)
+        ext = amax.max(0) - amin.min(0)
+        axis = int(np.argmax(ext))  # the production axis choice
+        oi, oj = oracle_overlap_pairs(verts, faces, segm, parents)
+
+        order = np.argsort(amin[:, axis], kind="stable")
+        rank = np.empty(len(faces), np.int64)
+        rank[order] = np.arange(len(faces))
+        min_window = int(np.abs(rank[oi] - rank[oj]).max())
+        assert min_window <= 640 * 0.8, (
+            f"minimal lossless window {min_window} leaves <20% margin"
+        )
