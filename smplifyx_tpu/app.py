@@ -57,7 +57,7 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
     from smplifyx_tpu.fitting.pipeline import FitOptions, fit_batch, recover_outputs
     from smplifyx_tpu.fitting.prepare import prepare_batch, settings_from_config
     from smplifyx_tpu.fitting.stages import build_stage_schedule
-    from smplifyx_tpu.models.bodymodel import load_smplx_npz
+    from smplifyx_tpu.models.bodymodel import load_body_model
     from smplifyx_tpu.models.joint_mapping import (
         model_to_annotation, SHOULDER_IDXS_BY_FORMAT,
     )
@@ -116,12 +116,20 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
                 num_betas=cfg.num_betas,
                 num_expression_coeffs=cfg.num_expression_coeffs,
                 num_pca_comps=cfg.num_pca_comps,
+                model_type=cfg.model_type,
             )
-        path = osp.join(
-            cfg.model_folder, "smplx", f"SMPLX_{gender.upper()}.npz"
+        # {model_folder}/{family}/{FAMILY}_{GENDER}.{npz|pkl}, the layout
+        # smplx.create resolves in the reference (main.py:109-127).
+        stem = osp.join(
+            cfg.model_folder, cfg.model_type,
+            f"{cfg.model_type.upper()}_{gender.upper()}",
         )
-        return load_smplx_npz(
-            path, num_betas=cfg.num_betas,
+        path = next(
+            (p for p in (stem + ".npz", stem + ".pkl") if osp.exists(p)),
+            stem + ".npz",
+        )
+        return load_body_model(
+            path, cfg.model_type, num_betas=cfg.num_betas,
             num_expression_coeffs=cfg.num_expression_coeffs,
             num_pca_comps=cfg.num_pca_comps,
         )

@@ -45,10 +45,13 @@ class FitSettings:
     # reference bug-for-bug switch for camera-init conf weighting
     camera_conf_mode: str = struct.field(pytree_node=False, default="global_scale")
     interpenetration: bool = struct.field(pytree_node=False, default=False)
+    # axis-angle body dofs: 63 for smplx/smplh (21 joints), 69 for smpl
+    # (23 joints incl. wrists — reference append_wrists, fitting.py:242-246)
+    body_pose_dof: int = struct.field(pytree_node=False, default=63)
 
     @property
     def body_dim(self) -> int:
-        return self.latent_dim if self.use_vposer else 63
+        return self.latent_dim if self.use_vposer else self.body_pose_dof
 
     def segments(self) -> Dict[str, tuple[int, int]]:
         """Name -> (offset, size) of every segment in the flat vector."""

@@ -48,9 +48,9 @@ def settings_from_config(cfg: Config) -> FitSettings:
         use_face_contour=cfg.use_face_contour,
         use_pca=cfg.use_pca,
         flat_hand_mean=cfg.flat_hand_mean,
-        num_body_kp={"coco25": 25, "halpe": 26, "coco_wholebody": 23}[
-            cfg.format.lower()
-        ],
+        num_body_kp={"coco25": 25, "coco19": 19, "halpe": 26,
+                     "coco_wholebody": 23}[cfg.format.lower()],
+        body_pose_dof=69 if cfg.model_type == "smpl" else 63,
         use_joints_conf=cfg.use_joints_conf,
         rho=cfg.rho,
         body_prior_type=cfg.body_prior_type,
@@ -148,7 +148,7 @@ def prepare_batch(
             elif cfg.body_prior_type == "gmm" and gmm is not None:
                 body0 = np.asarray(gmm.mean_pose(), np.float32)
             else:
-                body0 = np.zeros(63, np.float32)
+                body0 = np.zeros(settings.body_dim, np.float32)
 
         rows.append(dict(
             gt_joints=gt, conf=conf, joint_weights=joint_w.astype(np.float32),

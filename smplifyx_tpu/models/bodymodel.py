@@ -72,6 +72,19 @@ EXTRA_JOINT_NAMES = (
     "right_thumb", "right_index", "right_middle", "right_ring", "right_pinky",
 )
 
+# Same extras for the SMPL/SMPL-H topology (V = 6890; public vertex-id table
+# of the smplx package, consumed by the reference via smplx.create at
+# main.py:109-127).  SMPL has no hand skeleton, so it keeps only the 11
+# head/feet picks — matching the ("smpl", *) annotation tables.
+SMPLH_EXTRA_JOINT_VIDS = np.array(
+    [332, 6260, 2800, 4071, 583,          # nose, R/L eye, R/L ear
+     3216, 3226, 3387, 6617, 6624, 6740,  # L toes/heel, R toes/heel
+     2746, 2319, 2445, 2556, 2673,        # left finger tips (thumb..pinky)
+     6191, 5782, 5905, 6016, 6133],       # right finger tips (thumb..pinky)
+    dtype=np.int32,
+)
+SMPL_EXTRA_JOINT_VIDS = SMPLH_EXTRA_JOINT_VIDS[:11]
+
 
 @struct.dataclass
 class SMPLXModel:
@@ -152,23 +165,86 @@ def _neck_kin_chain(parents, head_idx: int = 15) -> tuple:
     return tuple(chain)
 
 
-def load_smplx_npz(
+class _ForeignStub:
+    """Tolerant stand-in for chumpy/scipy objects inside legacy .pkl
+    artifacts: captures the pickled state so the array payload ('x' for
+    chumpy.Ch, 'data/indices/indptr/_shape' for scipy CSC) can be
+    recovered without those packages installed."""
+
+    def __init__(self, *args, **kwargs):
+        self._args = args
+
+    def __setstate__(self, state):
+        self.__dict__.update(state if isinstance(state, dict) else {})
+
+
+def _to_dense(v) -> np.ndarray:
+    """numpy array | chumpy stub | scipy-sparse stub/object -> dense array."""
+    if isinstance(v, np.ndarray):
+        return v
+    if hasattr(v, "toarray"):           # real scipy matrix
+        return np.asarray(v.toarray())
+    x = getattr(v, "x", None)           # chumpy.Ch payload
+    if x is not None:
+        return np.asarray(x)
+    d = getattr(v, "__dict__", {})
+    if {"data", "indices", "indptr"} <= d.keys():   # pickled CSC state
+        data, indices, indptr = d["data"], d["indices"], d["indptr"]
+        shape = d.get("_shape") or d.get("shape")
+        out = np.zeros(shape, np.float32)
+        for col in range(shape[1]):
+            rows = indices[indptr[col]:indptr[col + 1]]
+            out[rows, col] = data[indptr[col]:indptr[col + 1]]
+        return out
+    return np.asarray(v)
+
+
+def _read_artifact(path: str) -> dict:
+    """Load a body-model artifact (.npz or legacy .pkl) into {name: array}."""
+    if path.endswith(".pkl"):
+        import pickle
+
+        class _Unpickler(pickle.Unpickler):
+            def find_class(self, module, name):
+                try:
+                    return super().find_class(module, name)
+                except (ImportError, AttributeError):
+                    return _ForeignStub
+
+            def persistent_load(self, pid):  # pragma: no cover
+                return None
+
+        with open(path, "rb") as f:
+            raw = _Unpickler(f, encoding="latin1").load()
+        return {k: _to_dense(v) for k, v in raw.items()
+                if not isinstance(v, (str, bytes, type(None)))}
+    raw = np.load(path, allow_pickle=True)
+    return {k: raw[k] for k in raw.files}
+
+
+def load_body_model(
     path: str,
+    model_type: str = "smplx",
     num_betas: int = 10,
     num_expression_coeffs: int = 10,
     num_pca_comps: int = 12,
     dtype=jnp.float32,
 ) -> SMPLXModel:
-    """Load a real SMPLX_{GENDER}.npz artifact into an SMPLXModel pytree.
+    """Load a real body-model artifact (any family) into the model pytree.
 
-    Field conventions follow the published SMPL-X npz layout: `shapedirs`
-    holds 300 shape + 100 expression columns; `posedirs` is [V, 3, (J-1)*9];
-    hands ship PCA components/means; landmark tables drive the face contour.
-    (Reference consumes the same artifact through `smplx.create`,
-    smplifyx/main.py:109-127.)
+    Handles SMPL-X npz, SMPL-H npz/pkl and SMPL npz/pkl layouts (the
+    families the reference's model_type flag accepts, cmd_parser.py:94-97;
+    it consumes them through smplx.create, main.py:109-127).  Field
+    conventions follow the published layouts: `shapedirs` may pack
+    300 shape + 100 expression columns (SMPL-X) or only shape columns;
+    `posedirs` is [V, 3, (J-1)*9]; SMPL-X/SMPL-H ship hand PCA
+    components/means; only SMPL-X ships face-landmark tables.  Families
+    without hands/face get zero-size or zero-filled blocks, mirroring
+    `synthetic_model`'s structure so the forward path is family-agnostic.
     """
-    raw = np.load(path, allow_pickle=True)
-    d = {k: raw[k] for k in raw.files}
+    d = _read_artifact(path)
+    has_face = model_type == "smplx"
+    has_hands = model_type in ("smplx", "smplh")
 
     shapedirs_all = np.asarray(d["shapedirs"], dtype=np.float32)
     if shapedirs_all.shape[-1] > SHAPE_SPACE_DIM:  # shape+expression packed
@@ -178,9 +254,14 @@ def load_smplx_npz(
         ]
     else:
         shape_cols = shapedirs_all[..., :num_betas]
-        expr_cols = np.asarray(d["exprdirs"], dtype=np.float32)[
-            ..., :num_expression_coeffs
-        ]
+        if "exprdirs" in d:
+            expr_cols = np.asarray(d["exprdirs"], dtype=np.float32)[
+                ..., :num_expression_coeffs
+            ]
+        else:  # smpl/smplh: no expression space
+            expr_cols = np.zeros(
+                (*shape_cols.shape[:2], num_expression_coeffs), np.float32
+            )
 
     posedirs = np.asarray(d["posedirs"], dtype=np.float32)
     V = posedirs.shape[0]
@@ -193,38 +274,80 @@ def load_smplx_npz(
     def arr(key, np_dtype=np.float32):
         return np.asarray(d[key], dtype=np_dtype)
 
+    faces_np = arr("f", np.int64)
+
+    if has_hands and "hands_componentsl" in d:
+        hand_comp_l = arr("hands_componentsl")[:num_pca_comps]
+        hand_comp_r = arr("hands_componentsr")[:num_pca_comps]
+        hand_mean_l = arr("hands_meanl")
+        hand_mean_r = arr("hands_meanr")
+    else:  # smpl, or a flat-hand smplh pkl without PCA tables
+        hand_comp_l = np.zeros((num_pca_comps, 45), np.float32)
+        hand_comp_r = np.zeros((num_pca_comps, 45), np.float32)
+        hand_mean_l = np.zeros(45, np.float32)
+        hand_mean_r = np.zeros(45, np.float32)
+
+    extra_vids = {
+        "smplx": SMPLX_EXTRA_JOINT_VIDS,
+        "smplh": SMPLH_EXTRA_JOINT_VIDS,
+        "smpl": SMPL_EXTRA_JOINT_VIDS,
+    }[model_type]
+    # Real artifacts always have V (10475 / 6890) above every vertex id;
+    # the clamp only matters for down-scaled synthetic test artifacts.
+    extra_vids = np.minimum(extra_vids, V - 1).astype(np.int32)
+
+    if has_face:
+        lmk_faces = arr("lmk_faces_idx", np.int64)
+        lmk_bary = arr("lmk_bary_coords")
+        dyn_faces = arr("dynamic_lmk_faces_idx", np.int64)
+        dyn_bary = arr("dynamic_lmk_bary_coords")
+    else:
+        lmk_faces = np.zeros((0,), np.int64)
+        lmk_bary = np.zeros((0, 3), np.float32)
+        dyn_faces = np.zeros((1, 0), np.int64)
+        dyn_bary = np.zeros((1, 0, 3), np.float32)
+
     return SMPLXModel(
         v_template=jnp.asarray(arr("v_template"), dtype=dtype),
         shapedirs=jnp.asarray(shape_cols, dtype=dtype),
         exprdirs=jnp.asarray(expr_cols, dtype=dtype),
         posedirs=jnp.asarray(posedirs, dtype=dtype),
-        J_regressor=jnp.asarray(arr("J_regressor"), dtype=dtype),
+        J_regressor=jnp.asarray(_to_dense(d["J_regressor"]), dtype=dtype),
         lbs_weights=jnp.asarray(arr("weights"), dtype=dtype),
         parents=parents,
-        faces=jnp.asarray(arr("f", np.int64), dtype=jnp.int32),
-        left_hand_components=jnp.asarray(
-            arr("hands_componentsl")[:num_pca_comps], dtype=dtype
-        ),
-        right_hand_components=jnp.asarray(
-            arr("hands_componentsr")[:num_pca_comps], dtype=dtype
-        ),
-        left_hand_mean=jnp.asarray(arr("hands_meanl"), dtype=dtype),
-        right_hand_mean=jnp.asarray(arr("hands_meanr"), dtype=dtype),
-        extra_joint_vids=jnp.asarray(SMPLX_EXTRA_JOINT_VIDS),
-        lmk_faces_idx=jnp.asarray(arr("lmk_faces_idx", np.int64), dtype=jnp.int32),
-        lmk_bary_coords=jnp.asarray(arr("lmk_bary_coords"), dtype=dtype),
-        dyn_lmk_faces_idx=jnp.asarray(
-            arr("dynamic_lmk_faces_idx", np.int64), dtype=jnp.int32
-        ),
-        dyn_lmk_bary_coords=jnp.asarray(arr("dynamic_lmk_bary_coords"), dtype=dtype),
+        faces=jnp.asarray(faces_np, dtype=jnp.int32),
+        left_hand_components=jnp.asarray(hand_comp_l, dtype=dtype),
+        right_hand_components=jnp.asarray(hand_comp_r, dtype=dtype),
+        left_hand_mean=jnp.asarray(hand_mean_l, dtype=dtype),
+        right_hand_mean=jnp.asarray(hand_mean_r, dtype=dtype),
+        extra_joint_vids=jnp.asarray(extra_vids),
+        lmk_faces_idx=jnp.asarray(lmk_faces, dtype=jnp.int32),
+        lmk_bary_coords=jnp.asarray(lmk_bary, dtype=dtype),
+        dyn_lmk_faces_idx=jnp.asarray(dyn_faces, dtype=jnp.int32),
+        dyn_lmk_bary_coords=jnp.asarray(dyn_bary, dtype=dtype),
         extra_lmk_matrix=jnp.asarray(build_extra_lmk_matrix(
-            V, SMPLX_EXTRA_JOINT_VIDS, arr("f", np.int64).astype(np.int64),
-            arr("lmk_faces_idx", np.int64).astype(np.int64),
-            arr("lmk_bary_coords"),
+            V, extra_vids, faces_np.astype(np.int64),
+            lmk_faces, lmk_bary,
         ), dtype=dtype),
         num_verts=V,
         num_joints=len(parents),
         neck_kin_chain=_neck_kin_chain(parents),
+    )
+
+
+def load_smplx_npz(
+    path: str,
+    num_betas: int = 10,
+    num_expression_coeffs: int = 10,
+    num_pca_comps: int = 12,
+    dtype=jnp.float32,
+) -> SMPLXModel:
+    """Load a real SMPLX_{GENDER}.npz artifact (back-compat wrapper around
+    `load_body_model`)."""
+    return load_body_model(
+        path, "smplx", num_betas=num_betas,
+        num_expression_coeffs=num_expression_coeffs,
+        num_pca_comps=num_pca_comps, dtype=dtype,
     )
 
 

@@ -26,7 +26,19 @@ _SMPLX_LHAND = [20, 37, 38, 39, 66, 25, 26, 27, 67, 28, 29, 30, 68,
                 34, 35, 36, 69, 31, 32, 33, 70]
 _SMPLX_RHAND = [21, 52, 53, 54, 71, 40, 41, 42, 72, 43, 44, 45, 73,
                 49, 50, 51, 74, 46, 47, 48, 75]
+# SMPL-H canonical layout: 52 skeleton + 21 extras (nose/eyes/ears 52-56,
+# toes/heels 57-62, finger tips L 63-67 / R 68-72); the reference's coco25
+# smplh tables (utils.py:171-182) use exactly this layout.
+_SMPLH_LHAND = [20, 34, 35, 36, 63, 22, 23, 24, 64, 25, 26, 27, 65,
+                31, 32, 33, 66, 28, 29, 30, 67]
+_SMPLH_RHAND = [21, 49, 50, 51, 68, 37, 38, 39, 69, 40, 41, 42, 70,
+                46, 47, 48, 71, 43, 44, 45, 72]
 
+# NOTE on coco19: the reference builds its coco19 models WITHOUT the six
+# foot vertex-joints, which shifts its fingertip indices to 60-69 and face
+# to 70 (utils.py:211-250).  This framework keeps ONE canonical layout per
+# family (feet always present), so coco19 reuses the coco25 hand tables and
+# the face block at 76 — the selected landmarks are identical.
 _BODY = {
     ("smplx", "coco25"): [55, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7,
                           56, 57, 58, 59, 60, 61, 62, 63, 64, 65],
@@ -36,6 +48,10 @@ _BODY = {
                          1, 2, 4, 5, 7, 8, 15, 12, 0, 60, 63, 61, 64, 62, 65],
     ("smplx", "coco_wholebody"): [55, 57, 56, 59, 58, 16, 17, 18, 19, 20, 21,
                                   1, 2, 4, 5, 7, 8, 60, 61, 62, 63, 64, 65],
+    ("smplh", "coco25"): [52, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7,
+                          53, 54, 55, 56, 57, 58, 59, 60, 61, 62],
+    ("smplh", "coco19"): [52, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7,
+                          53, 54, 55, 56],
     ("smpl", "coco25"): [24, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7,
                          25, 26, 27, 28, 29, 30, 31, 32, 33, 34],
     ("smpl", "coco19"): [24, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7,
@@ -63,16 +79,19 @@ def model_to_annotation(
     if key not in _BODY:
         raise ValueError(f"Unsupported mapping {model_type}/{format}")
     parts = [np.asarray(_BODY[key], dtype=np.int32)]
-    if model_type == "smplx":
-        if use_hands:
-            parts += [np.asarray(_SMPLX_LHAND, dtype=np.int32),
-                      np.asarray(_SMPLX_RHAND, dtype=np.int32)]
-        if use_face:
-            face_start = 70 if fmt == "coco19" else 76
-            parts.append(
-                np.arange(face_start, face_start + 51 + 17 * use_face_contour,
-                          dtype=np.int32)
-            )
+    if use_hands and model_type in ("smplx", "smplh"):
+        lhand, rhand = {
+            "smplx": (_SMPLX_LHAND, _SMPLX_RHAND),
+            "smplh": (_SMPLH_LHAND, _SMPLH_RHAND),
+        }[model_type]
+        parts += [np.asarray(lhand, dtype=np.int32),
+                  np.asarray(rhand, dtype=np.int32)]
+    if use_face and model_type == "smplx":
+        # Face block of the canonical layout (76..126, + contour); see the
+        # coco19 layout note above.
+        parts.append(
+            np.arange(76, 76 + 51 + 17 * use_face_contour, dtype=np.int32)
+        )
     return np.concatenate(parts)
 
 

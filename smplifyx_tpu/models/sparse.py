@@ -67,8 +67,11 @@ def build_joints_model(model: SMPLXModel) -> JointsModel:
     subset = np.unique(np.concatenate(
         [extra_vids.ravel(), lmk_tris.ravel(), dyn_tris.ravel()]
     ))
-    pos = {v: i for i, v in enumerate(subset.tolist())}
-    to_sub = np.vectorize(pos.__getitem__)
+
+    def to_sub(a):
+        # subset is sorted-unique and contains every queried id; searchsorted
+        # also handles the empty landmark tables of face-less families.
+        return np.searchsorted(subset, a).astype(np.int32)
 
     J_reg = np.asarray(model.J_regressor)
     v_template = np.asarray(model.v_template)
@@ -123,19 +126,30 @@ def joints_forward(
     B = params.global_orient.shape[0]
     J = jm.num_joints
 
-    if use_pca:
-        lhand = params.left_hand_pose @ jm.left_hand_components
-        rhand = params.right_hand_pose @ jm.right_hand_components
-    else:
-        lhand, rhand = params.left_hand_pose, params.right_hand_pose
-    if not flat_hand_mean:
-        lhand = lhand + jm.left_hand_mean
-        rhand = rhand + jm.right_hand_mean
+    # family-specific full-pose assembly, mirroring smplx_forward
+    if J in (52, 55):
+        if use_pca:
+            lhand = params.left_hand_pose @ jm.left_hand_components
+            rhand = params.right_hand_pose @ jm.right_hand_components
+        else:
+            lhand, rhand = params.left_hand_pose, params.right_hand_pose
+        if not flat_hand_mean:
+            lhand = lhand + jm.left_hand_mean
+            rhand = rhand + jm.right_hand_mean
 
-    full_pose = jnp.concatenate(
-        [params.global_orient, params.body_pose, params.jaw_pose,
-         params.leye_pose, params.reye_pose, lhand, rhand], axis=-1,
-    )
+    if J == 55:  # SMPL-X
+        full_pose = jnp.concatenate(
+            [params.global_orient, params.body_pose, params.jaw_pose,
+             params.leye_pose, params.reye_pose, lhand, rhand], axis=-1,
+        )
+    elif J == 52:  # SMPL-H: no face joints
+        full_pose = jnp.concatenate(
+            [params.global_orient, params.body_pose, lhand, rhand], axis=-1,
+        )
+    else:  # SMPL: 69-dof body pose incl. wrists
+        full_pose = jnp.concatenate(
+            [params.global_orient, params.body_pose], axis=-1,
+        )
     coeffs = jnp.concatenate([params.betas, params.expression], axis=-1)
 
     joints_rest = jm.jr_template + jnp.einsum("bk,jck->bjc", coeffs, jm.jr_dirs)
@@ -159,7 +173,7 @@ def joints_forward(
     tri = verts_sub[:, jm.lmk_tri_sub]                    # [B, 51, 3, 3]
     lmk = jnp.einsum("lc,blcx->blx", jm.lmk_bary, tri)
     parts = [posed_joints, extras, lmk]
-    if use_face_contour:
+    if use_face_contour and jm.dyn_tri_sub.shape[1] > 0:
         bucket = _head_yaw_bucket(
             rot_mats, jm.neck_kin_chain, jm.dyn_tri_sub.shape[0]
         )

@@ -258,6 +258,36 @@ class TestEulerParity:
 
 
 # ---------------------------------------------------------------------------
+# Joint mapping tables
+# ---------------------------------------------------------------------------
+
+class TestJointMappingParity:
+    @pytest.mark.parametrize("model_type,fmt,use_hands,use_face", [
+        ("smplx", "coco25", True, True),
+        ("smplx", "halpe", True, True),
+        ("smplx", "coco_wholebody", True, True),
+        ("smplh", "coco25", True, False),
+        ("smpl", "coco25", False, False),
+        ("smpl", "coco19", False, False),
+    ])
+    def test_tables_match_reference(self, ref, model_type, fmt,
+                                    use_hands, use_face):
+        """Where this framework's canonical joint layout coincides with the
+        reference model's (every case except coco19 on smplx/smplh, whose
+        reference models drop the foot vertex-joints — see the layout note
+        in models/joint_mapping.py), the permutations must be identical."""
+        from smplifyx_tpu.models.joint_mapping import model_to_annotation
+
+        ref_map = ref.utils.smpl_to_annotation(
+            model_type=model_type, use_hands=use_hands, use_face=use_face,
+            use_face_contour=False, format=fmt,
+        )
+        ours = model_to_annotation(model_type, use_hands, use_face,
+                                   False, fmt)
+        np.testing.assert_array_equal(ours, ref_map)
+
+
+# ---------------------------------------------------------------------------
 # Metrics
 # ---------------------------------------------------------------------------
 
