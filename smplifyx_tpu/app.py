@@ -145,6 +145,19 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
         gmm = load_gmm_pickle(
             osp.join(cfg.prior_folder, f"gmm_{cfg.num_gaussians:02d}.pkl")
         )
+    # Hand GMM priors over the PCA coefficients: the reference keys their
+    # mixture size to num_pca_comps (main.py:148-164, gmm_{num_pca:02d}.pkl).
+    from smplifyx_tpu.fitting.prepare import _norm_prior
+
+    def _hand_gmm(prior_type):
+        if _norm_prior(prior_type) != "gmm":
+            return None
+        return load_gmm_pickle(
+            osp.join(cfg.prior_folder, f"gmm_{cfg.num_pca_comps:02d}.pkl")
+        )
+
+    lhand_gmm = _hand_gmm(cfg.left_hand_prior_type)
+    rhand_gmm = _hand_gmm(cfg.right_hand_prior_type)
     vposer = None
     decode_body = lambda b: b
     if cfg.use_vposer:
@@ -255,6 +268,7 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
                 decode_body, joint_map, gmm=gmm, edge_idxs=edge_idxs,
                 collision_fn=collision_fn, joints_model=joints_model,
                 coll_stage_mask=coll_stage_mask,
+                lhand_gmm=lhand_gmm, rhand_gmm=rhand_gmm,
             )
         )
         res = fitted(group_model, joints_model, batch.frames,

@@ -124,6 +124,8 @@ def smplify_energy(
     gmm: Optional[GMMPrior] = None,
     collision_fn: Optional[Callable] = None,
     joints_model=None,
+    lhand_gmm: Optional[GMMPrior] = None,
+    rhand_gmm: Optional[GMMPrior] = None,
 ) -> jax.Array:
     """Full SMPLify objective for ONE frame (flat params [D] -> scalar).
 
@@ -196,17 +198,31 @@ def smplify_energy(
     # full_pose[:, 3:66] is exactly the decoded body pose
     bend = jnp.sum(angle_prior(body_pose_aa)) * w.bending_prior_weight
 
-    hand_loss = 0.0
-    if settings.use_hands:
-        hand_loss = (
-            jnp.sum(params.left_hand_pose[0] ** 2)
-            + jnp.sum(params.right_hand_pose[0] ** 2)
-        ) * w.hand_prior_weight**2
+    # --- hand priors over the PCA coefficients (reference fitting.py:411-422
+    # applies left/right_hand_prior to the model output's hand pose, which
+    # under use_pca IS the coefficient vector); per-side type from settings.
+    def _hand_term(coeffs, prior_type, hand_gmm):
+        if not settings.use_hands or prior_type == "none":
+            return 0.0
+        if prior_type == "gmm" and hand_gmm is not None:
+            return jnp.sum(hand_gmm(coeffs[None])) * w.hand_prior_weight**2
+        return jnp.sum(coeffs**2) * w.hand_prior_weight**2
+
+    hand_loss = (
+        _hand_term(params.left_hand_pose[0],
+                   settings.left_hand_prior_type, lhand_gmm)
+        + _hand_term(params.right_hand_pose[0],
+                     settings.right_hand_prior_type, rhand_gmm)
+    )
 
     face_loss = 0.0
     if settings.use_face:
         expr_loss = jnp.sum(params.expression[0] ** 2) * w.expr_prior_weight**2
-        jaw_loss = jnp.sum((params.jaw_pose[0] * w.jaw_prior_weight) ** 2)
+        jaw_loss = 0.0
+        if settings.jaw_prior_type != "none":
+            # L2 on jaw_pose scaled elementwise by the 3-vector jaw weight
+            # (reference fitting.py:431-435)
+            jaw_loss = jnp.sum((params.jaw_pose[0] * w.jaw_prior_weight) ** 2)
         face_loss = expr_loss + jaw_loss
 
     pen_loss = 0.0

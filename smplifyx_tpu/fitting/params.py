@@ -41,6 +41,15 @@ class FitSettings:
     rho: float = struct.field(pytree_node=False, default=100.0)
     # 'gmm' | 'l2' | 'none'; 'l2' on the latent when use_vposer
     body_prior_type: str = struct.field(pytree_node=False, default="l2")
+    # Hand priors over the PCA coefficients: 'gmm' | 'l2' | 'none'.  The
+    # reference exposes these as left/right_hand_prior_type whose CLI
+    # default 'mog' its own factory REJECTS (prior.py:36-50 raises on
+    # 'mog'; every shipped preset uses l2) — here 'mog' is accepted as an
+    # alias for 'gmm', making the advertised capability actually work.
+    left_hand_prior_type: str = struct.field(pytree_node=False, default="l2")
+    right_hand_prior_type: str = struct.field(pytree_node=False, default="l2")
+    # 'l2' | 'none' (reference jaw_prior_type choices, cmd_parser.py:151-155)
+    jaw_prior_type: str = struct.field(pytree_node=False, default="l2")
     has_regression_prior: bool = struct.field(pytree_node=False, default=False)
     # reference bug-for-bug switch for camera-init conf weighting
     camera_conf_mode: str = struct.field(pytree_node=False, default="global_scale")

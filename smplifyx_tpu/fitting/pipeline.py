@@ -78,6 +78,8 @@ def fit_batch(
     collision_fn: Optional[Callable] = None,
     joints_model=None,
     coll_stage_mask: Optional[tuple] = None,
+    lhand_gmm=None,
+    rhand_gmm=None,
 ) -> FitResult:
     """Fit a batch of frames.  Fully jit-able; vmap/pjit-friendly.
 
@@ -156,6 +158,7 @@ def fit_batch(
                     decode_body, joint_map, gmm=gmm,
                     collision_fn=collision_fn if with_collision else None,
                     joints_model=joints_model,
+                    lhand_gmm=lhand_gmm, rhand_gmm=rhand_gmm,
                 )
                 return minimize(fun, xx, mask=body_mask, cfg=options.lbfgs)
 

@@ -36,6 +36,14 @@ class PreparedBatch:
     focals: list[float]
 
 
+def _norm_prior(t) -> str:
+    """Normalize prior-type strings: 'mog' is an alias for 'gmm' (the
+    reference CLI's default spelling, which its own factory rejects —
+    prior.py:36-50); 'None'/'' mean none."""
+    t = (t or "none").lower()
+    return {"mog": "gmm", "": "none"}.get(t, t)
+
+
 def settings_from_config(cfg: Config) -> FitSettings:
     return FitSettings(
         use_vposer=cfg.use_vposer,
@@ -54,6 +62,9 @@ def settings_from_config(cfg: Config) -> FitSettings:
         use_joints_conf=cfg.use_joints_conf,
         rho=cfg.rho,
         body_prior_type=cfg.body_prior_type,
+        left_hand_prior_type=_norm_prior(cfg.left_hand_prior_type),
+        right_hand_prior_type=_norm_prior(cfg.right_hand_prior_type),
+        jaw_prior_type=_norm_prior(cfg.jaw_prior_type),
         has_regression_prior=cfg.regression_prior is not None,
         camera_conf_mode=(
             "global_scale" if cfg.use_conf_for_camera_init else "none"

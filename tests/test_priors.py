@@ -114,3 +114,100 @@ class TestAnglePrior:
         assert float(angle_prior(jnp.asarray(hyper))[0]) > float(
             angle_prior(jnp.asarray(bend))[0]
         )
+
+
+class TestHandJawPriorTypes:
+    """'mog'/'gmm' hand priors + 'none' variants in the fitting energy
+    (reference capability: left/right_hand_prior_type, jaw_prior_type —
+    main.py:138-164; its factory rejects its own 'mog' default, so here
+    'mog' aliases 'gmm' and actually works)."""
+
+    def _energy(self, settings, lhand_gmm=None, rhand_gmm=None, x=None):
+        import jax.numpy as jnp
+        from smplifyx_tpu.fitting.energy import FrameData, smplify_energy
+        from smplifyx_tpu.fitting.params import pack
+        from smplifyx_tpu.fitting.stages import build_stage_schedule
+        from smplifyx_tpu.models.bodymodel import synthetic_model
+        from smplifyx_tpu.models.joint_mapping import model_to_annotation
+        import jax
+
+        model = synthetic_model(num_verts=64, seed=0)
+        jm = jnp.asarray(model_to_annotation("smplx", True, True, True,
+                                             "coco25"))
+        K = jm.shape[0]
+        rng = np.random.default_rng(0)
+        if x is None:
+            x = pack(
+                settings,
+                cam_t=jnp.asarray([[0.0, 0.0, 4.0]]),
+                global_orient=jnp.zeros((1, 3)),
+                body=jnp.zeros((1, 63)),
+                lhand=jnp.asarray(rng.normal(0, 0.5, (1, 12)), jnp.float32),
+                rhand=jnp.asarray(rng.normal(0, 0.5, (1, 12)), jnp.float32),
+            )
+        frame = FrameData(
+            gt_joints=jnp.zeros((K, 2)), conf=jnp.ones(K),
+            joint_weights=jnp.ones(K), focal=jnp.full(2, 1000.0),
+            center=jnp.zeros(2), data_weight=jnp.asarray(0.0),
+            init_joints_mask=jnp.zeros(K), trans_estimation=jnp.zeros(3),
+            depth_loss_weight=jnp.asarray(0.0),
+            regression_body=jnp.zeros(63),
+        )
+        sched = build_stage_schedule(
+            [1.0], shape_weights=[0.0], expr_weights=[0.0],
+            hand_pose_prior_weights=[2.0], hand_joints_weights=[0.0],
+            face_joints_weights=[0.0],
+        )
+        w = jax.tree.map(lambda a: a[0], sched)
+        val = smplify_energy(
+            x[0], settings, model, frame, w, jnp.asarray(0), 1,
+            lambda b: b, jm, lhand_gmm=lhand_gmm, rhand_gmm=rhand_gmm,
+        )
+        return float(val), x
+
+    def test_gmm_hand_prior_value(self):
+        from smplifyx_tpu.fitting.params import FitSettings, unpack
+        from smplifyx_tpu.priors.priors import synthetic_gmm
+
+        hand_gmm = synthetic_gmm(num_components=4, dim=12, seed=7)
+        base = FitSettings(use_face_contour=True)
+        e_l2, x = self._energy(base)
+        e_gmm, _ = self._energy(
+            base.replace(left_hand_prior_type="gmm",
+                         right_hand_prior_type="gmm"),
+            lhand_gmm=hand_gmm, rhand_gmm=hand_gmm, x=x,
+        )
+        seg = unpack(base, x)
+        expected_l2 = 4.0 * float(
+            jnp.sum(seg["lhand"] ** 2) + jnp.sum(seg["rhand"] ** 2)
+        )
+        expected_gmm = 4.0 * float(
+            hand_gmm(seg["lhand"]).sum() + hand_gmm(seg["rhand"]).sum()
+        )
+        np.testing.assert_allclose(e_gmm - e_l2, expected_gmm - expected_l2,
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_none_disables_terms(self):
+        from smplifyx_tpu.fitting.params import FitSettings, unpack
+
+        base = FitSettings(use_face_contour=True)
+        e_l2, x = self._energy(base)
+        e_none, _ = self._energy(
+            base.replace(left_hand_prior_type="none",
+                         right_hand_prior_type="none"), x=x,
+        )
+        seg = unpack(base, x)
+        expected = 4.0 * float(
+            jnp.sum(seg["lhand"] ** 2) + jnp.sum(seg["rhand"] ** 2)
+        )
+        np.testing.assert_allclose(e_l2 - e_none, expected,
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_mog_alias_normalization(self):
+        from smplifyx_tpu.fitting.prepare import _norm_prior
+
+        assert _norm_prior("mog") == "gmm"
+        assert _norm_prior("MOG") == "gmm"
+        assert _norm_prior("None") == "none"
+        assert _norm_prior(None) == "none"
+        assert _norm_prior("l2") == "l2"
