@@ -145,3 +145,30 @@ class TestBrowseCLI:
         ])
         import os.path as osp
         assert osp.exists(tmp_path / "overlays" / "frameA_overlay.png")
+
+
+class TestRasterizerScale:
+    def test_full_size_mesh_under_one_second(self):
+        """VERDICT round-1 item 9: a 21k-face overlay must render fast
+        enough for interactive browsing (steady-state < 1 s)."""
+        import time
+
+        import jax.numpy as jnp
+
+        from smplifyx_tpu.ops.camera import CameraParams
+        from smplifyx_tpu.utils.proxy_mesh import build_posed_human
+
+        verts, faces, _, _ = build_posed_human(scale_faces=1.25)
+        cam = CameraParams(
+            rotation=jnp.eye(3), translation=jnp.asarray([0.0, -0.3, 3.0]),
+            focal=jnp.asarray([1500.0, 1500.0]),
+            center=jnp.asarray([400.0, 300.0]),
+        )
+        render_mesh_overlay(None, verts, faces, cam, img_size=(600, 800))
+        t0 = time.time()
+        img = render_mesh_overlay(None, verts, faces, cam,
+                                  img_size=(600, 800))
+        dt = time.time() - t0
+        cov = (img != 255).any(-1).mean()
+        assert 0.05 < cov < 0.9, cov   # the body actually rasterized
+        assert dt < 1.0, f"{dt:.2f}s for a 21k-face overlay"
