@@ -126,6 +126,7 @@ def smplify_energy(
     joints_model=None,
     lhand_gmm: Optional[GMMPrior] = None,
     rhand_gmm: Optional[GMMPrior] = None,
+    collision_aux=None,
 ) -> jax.Array:
     """Full SMPLify objective for ONE frame (flat params [D] -> scalar).
 
@@ -227,7 +228,13 @@ def smplify_energy(
 
     pen_loss = 0.0
     if settings.interpenetration and collision_fn is not None:
-        pen_loss = w.coll_loss_weight * collision_fn(vertices[0])
+        # collision_aux: a broad-phase pair list hoisted out of the line
+        # search (lbfgs aux_fn); None means exact per-eval broad phase.
+        if collision_aux is not None:
+            pen = collision_fn.apply(vertices[0], collision_aux)
+        else:
+            pen = collision_fn(vertices[0])
+        pen_loss = w.coll_loss_weight * pen
 
     return joint_loss + pprior + shape_loss + bend + hand_loss + face_loss + pen_loss
 

@@ -341,10 +341,11 @@ class _MinState(NamedTuple):
 
 
 def minimize(
-    fun: Callable[[jax.Array], jax.Array],
+    fun: Callable[..., jax.Array],
     x0: jax.Array,
     mask: Optional[jax.Array] = None,
     cfg: LBFGSConfig = LBFGSConfig(),
+    aux_fn: Optional[Callable[[jax.Array], object]] = None,
 ) -> LBFGSResult:
     """Minimize fun over the masked subspace of x0 with L-BFGS + strong Wolfe.
 
@@ -352,6 +353,19 @@ def minimize(
     are frozen (their gradient is zeroed, which keeps every search direction
     inside the free subspace).  vmap over (x0, mask) — and over fun's batch
     data via closure — gives the batched optimizer.
+
+    aux_fn: optional `x -> aux` (any pytree, not differentiated).  When
+    given, `fun` must take `(x, aux)`; aux is recomputed once per L-BFGS
+    iteration (at the current iterate) and every line-search evaluation of
+    that iteration reuses it.  This is the hook for expensive
+    non-differentiated preprocessing whose result changes slowly along the
+    trajectory — e.g. the collision broad phase (ops/collision.py
+    `.build`/`.apply`): the sort + compaction dominate the penalty's cost,
+    and a strong-Wolfe search averages ~5 evaluations per iteration, so
+    hoisting it out of the line search is a ~5x cut on that term.  (The
+    reference reruns its BVH in every closure evaluation,
+    smplifyx/fitting.py:439-455; this is a deliberate, measured divergence —
+    stale pairs are AABB-rechecked inside apply.)
     """
     D = x0.shape[0]
     dtype = x0.dtype
@@ -359,13 +373,26 @@ def minimize(
     if mask is None:
         mask = jnp.ones_like(x0)
 
-    vg = jax.value_and_grad(fun)
+    if aux_fn is None:
+        vg = jax.value_and_grad(fun)
 
-    def masked_vg(x):
-        f, g = vg(x)
-        return f, g * mask
+        def masked_vg_aux(x, aux):
+            del aux
+            f, g = vg(x)
+            return f, g * mask
 
-    f0, g0 = masked_vg(x0)
+    else:
+        vg = jax.value_and_grad(fun)  # d/dx only; aux is positional data
+
+        def masked_vg_aux(x, aux):
+            f, g = vg(x, aux)
+            return f, g * mask
+
+    def make_eval(aux):
+        return lambda x: masked_vg_aux(x, aux)
+
+    aux0 = aux_fn(x0) if aux_fn is not None else None
+    f0, g0 = masked_vg_aux(x0, aux0)
 
     init = _MinState(
         x=x0, f=f0, g=g0,
@@ -383,6 +410,22 @@ def minimize(
         return (~s.done) & (s.it < cfg.max_iters) & under_budget
 
     def body(s: _MinState) -> _MinState:
+        # Refresh the per-iteration aux at the current iterate; the whole
+        # line search below reuses it.  f/g MUST be re-evaluated under the
+        # fresh aux: the stored state came from the previous aux, and a
+        # stale Armijo reference makes every trial look like an ascent
+        # (t -> 0, spurious convergence).  Costs one extra evaluation per
+        # iteration — the line search it amortizes averages ~5.
+        if aux_fn is not None:
+            aux = aux_fn(s.x)
+            eval_fn = make_eval(aux)
+            f_cur, g_cur = eval_fn(s.x)
+            extra_eval = 1
+        else:
+            eval_fn = make_eval(None)
+            f_cur, g_cur = s.f, s.g
+            extra_eval = 0
+        s = s._replace(f=f_cur, g=g_cur)
         first = s.n_hist == 0
         d = _two_loop(s.g, s.S_hist, s.Y_hist, s.rho, s.n_hist, m)
         d = jnp.where(first, -s.g, d)
@@ -410,7 +453,7 @@ def minimize(
         )
 
         t, f_new, g_new, ls_evals = _strong_wolfe(
-            masked_vg, s.x, t0, d, s.f, s.g, gtd, cfg
+            eval_fn, s.x, t0, d, s.f, s.g, gtd, cfg
         )
 
         x_new = s.x + t * d
@@ -446,6 +489,8 @@ def minimize(
         rel = (s.f - f_new) / jnp.maximum(
             jnp.maximum(jnp.abs(s.f), jnp.abs(f_new)), 1.0
         )
+        # (With aux_fn, s.f was re-evaluated under the fresh aux above, so
+        # the line search's descent guarantee keeps rel >= 0 here too.)
         small_f = rel <= cfg.ftol
         small_g = jnp.max(jnp.abs(g_new)) <= cfg.gtol
         small_step = jnp.max(jnp.abs(s_vec)) <= cfg.tol_change
@@ -459,7 +504,7 @@ def minimize(
         return _MinState(
             x=x_out, f=f_out, g=g_out,
             S_hist=S_hist, Y_hist=Y_hist, rho=rho, n_hist=n_hist,
-            it=s.it + 1, n_evals=s.n_evals + ls_evals,
+            it=s.it + 1, n_evals=s.n_evals + ls_evals + extra_eval,
             done=non_finite | conv,
             converged=conv & ~non_finite,
             t_prev=jnp.where(t > 0, t, s.t_prev),

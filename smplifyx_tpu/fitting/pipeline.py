@@ -54,6 +54,12 @@ class FitOptions:
     left_shoulder_idx: int = struct.field(pytree_node=False, default=2)
     right_shoulder_idx: int = struct.field(pytree_node=False, default=5)
     use_camera_prior: bool = struct.field(pytree_node=False, default=False)
+    # Collision broad-phase refresh cadence: "iter" rebuilds the candidate
+    # pair list once per L-BFGS iteration and reuses it across that
+    # iteration's line search (pairs are AABB-rechecked per evaluation, see
+    # ops/collision.py apply); "eval" reruns the full broad phase in every
+    # energy evaluation (exact reference semantics, ~5x the collision cost).
+    coll_broad_refresh: str = struct.field(pytree_node=False, default="iter")
 
 
 class FitResult(struct.PyTreeNode):
@@ -149,18 +155,45 @@ def fit_batch(
         if settings.interpenetration and not with_collision:
             group_settings = settings.replace(interpenetration=False)
 
+        hoist_broad = (
+            with_collision
+            and options.coll_broad_refresh == "iter"
+            and hasattr(collision_fn, "build")
+        )
+
+        def vertices_of(z):
+            params, _, _ = body_params_from_flat(
+                settings, z[None], lambda b: decode_body(b)
+            )
+            out = smplx_forward(
+                model, params,
+                use_pca=settings.use_pca,
+                flat_hand_mean=settings.flat_hand_mean,
+                use_face_contour=settings.use_face_contour,
+                return_verts=True,
+            )
+            return out.vertices[0]
+
         def stage_step(x, scan_in):
             stage_idx, w = scan_in
 
             def fit_one(xx, frame):
-                fun = lambda z: smplify_energy(
-                    z, group_settings, model, frame, w, stage_idx, num_stages,
-                    decode_body, joint_map, gmm=gmm,
-                    collision_fn=collision_fn if with_collision else None,
-                    joints_model=joints_model,
-                    lhand_gmm=lhand_gmm, rhand_gmm=rhand_gmm,
+                def fun(z, aux=None):
+                    return smplify_energy(
+                        z, group_settings, model, frame, w, stage_idx,
+                        num_stages, decode_body, joint_map, gmm=gmm,
+                        collision_fn=collision_fn if with_collision else None,
+                        joints_model=joints_model,
+                        lhand_gmm=lhand_gmm, rhand_gmm=rhand_gmm,
+                        collision_aux=aux,
+                    )
+
+                aux_fn = (
+                    (lambda z: collision_fn.build(vertices_of(z)))
+                    if hoist_broad else None
                 )
-                return minimize(fun, xx, mask=body_mask, cfg=options.lbfgs)
+                return minimize(fun, xx, mask=body_mask, cfg=options.lbfgs,
+                                aux_fn=aux_fn)
 
             res = jax.vmap(fit_one)(x, frames2)
             return res.x, res.f

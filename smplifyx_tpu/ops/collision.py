@@ -1,38 +1,34 @@
-"""Self-intersection penalty: sorted-AABB sweep + pair compaction + cone field.
+"""Self-intersection penalty: Morton-block AABB hierarchy + cone field.
 
 TPU-native replacement for the reference's external CUDA torch-mesh-isect
 stack (SURVEY.md §2 row 14: BVH broad phase -> DistanceFieldPenetrationLoss
 -> FilterFaces, used at smplifyx/fitting.py:437-455 with the broad phase
 under no_grad).  A pointer-chasing BVH is hostile to TPUs, so the broad
-phase is re-designed around sorting and dense masks, and — new in round 2 —
-the narrow phase runs on a COMPACTED fixed-size pair list, which decouples
-its cost from the sweep window:
+phase is re-designed around Morton sorting, dense vectorized AABB masks,
+and shape-static stream compaction (details in `make_collision_fn`):
 
-  1. per-triangle AABBs; pick the sweep axis as the mesh's largest-extent
-     axis (for a human that is the height axis, which minimizes the sorted
-     slab occupancy); sort triangles by AABB min along it;
-  2. each triangle tests the next `window` triangles in sorted order — the
-     only candidates whose sweep-axis intervals can overlap within the
-     window — then filters by full 3-axis AABB overlap and by part
-     (FilterFaces semantics: same part, parent part, configured ignore
-     list, using the smplx_parts_segm schema {segm[F], parents[F]});
-  3. surviving (i, j) pairs are compacted to a fixed budget `max_pairs`
-     with a shape-static nonzero — the analog of the reference BVH's
-     max_collisions cap (fit_single_frame.py:300-328, default 128 true
-     intersections; the broad-phase superset needs a larger budget);
-  4. a differentiable cone penetration field scores just those pairs,
+  1. triangles sort by the Morton code of their AABB centroid — the flat,
+     data-parallel analog of an LBVH build — yielding spatially tight
+     8-triangle blocks and 64-triangle superblocks;
+  2. candidates flow through a three-level funnel (superblock all-pairs ->
+     block refinement -> triangle refinement with exact FilterFaces part
+     filtering), each level compacted to a calibrated fixed budget — the
+     analog of the reference BVH's max_collisions cap
+     (fit_single_frame.py:300-328);
+  3. a differentiable cone penetration field scores the surviving pairs,
      vertex-vs-triangle in both directions.
 
-Gradient structure mirrors the reference: steps 1-3 carry no gradients
-(reference: no_grad BVH); only the cone field (4) is differentiated, through
-a [max_pairs, 9]-shaped gather of the live triangle coordinates.
+Gradient structure mirrors the reference: the broad phase carries no
+gradients (reference: no_grad BVH); only the cone field is differentiated,
+through a [max_pairs, 9]-shaped gather of the live triangle coordinates.
+The `.build`/`.apply` split lets the optimizer reuse one broad-phase result
+across a whole line search (see `make_collision_fn`).
 
-Window/budget calibration (tests/test_collision_oracle.py measures this
-against an exact all-pairs oracle on a ~21k-face posed-human proxy mesh with
-real self-contacts): the minimal lossless window along the largest-extent
-axis is ~500 and the surviving-pair count ~1.6k, so the defaults
-window=640 / max_pairs=4096 carry ~30% / ~2.5x margins.  The oracle test
-asserts the sweep finds EVERY surviving pair at those settings.
+Budget calibration (tests/test_collision_oracle.py measures this against an
+exact all-pairs oracle on a ~21k-face posed-human proxy mesh with real
+self-contacts): ~4.0k superblock pairs, ~12.4k block pairs, ~1.6k final
+pairs survive; the defaults carry ~2x margins and the oracle test asserts
+the hierarchy finds EVERY surviving pair at those settings.
 
 The cone field is a re-design, not a translation of the CUDA kernel: for a
 vertex p against a triangle (centroid c, unit normal n, circumradius r),
@@ -107,7 +103,40 @@ def _cone_penalty_pairs(
     return one_way(ta, tb) + one_way(tb, ta)
 
 
-_BLK = 8  # triangles per sweep block (two-level broad phase)
+_BLK = 8  # triangles per block (broad-phase leaf)
+_SUP = 8  # blocks per superblock
+
+
+def _interleave3(x: jax.Array) -> jax.Array:
+    """Spread each of the low 10 bits of x to every 3rd bit (Morton)."""
+    x = (x | (x << 16)) & np.uint32(0x030000FF)
+    x = (x | (x << 8)) & np.uint32(0x0300F00F)
+    x = (x | (x << 4)) & np.uint32(0x030C30C3)
+    x = (x | (x << 2)) & np.uint32(0x09249249)
+    return x
+
+
+def _compact(flat: jax.Array, size: int):
+    """Shape-static stream compaction: indices of the first `size` True
+    entries of `flat` (bool [N]) in order, plus a validity mask.
+
+    top_k on index-ordered keys, NOT nonzero / cumsum+searchsorted /
+    cumsum+scatter.  Profiler traces on v5e showed every random-access
+    alternative lands on the TPU's SERIAL scalar core at ~4.6 ns per flat
+    element per lane (232 ms for a [32, 1.57M] compaction): jnp.nonzero
+    lowers to a full sort, a vmapped searchsorted becomes a while loop of
+    serial gathers, and a destination-scatter serializes wholesale.
+    lax.top_k is the one primitive with a vectorized TPU lowering for this
+    access pattern (it powers MoE routing): keying True elements by
+    descending N-idx sorts exactly the first `size` True positions to the
+    front, in index order.
+    """
+    N = flat.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    key = jnp.where(flat, N - idx, -idx)
+    vals, pos = jax.lax.top_k(key, size)
+    valid = vals > 0
+    return jnp.where(valid, pos, 0), valid
 
 
 def make_collision_fn(
@@ -115,53 +144,78 @@ def make_collision_fn(
     segm: Optional[np.ndarray] = None,      # [F] part ids
     parents: Optional[np.ndarray] = None,   # [F] parent part ids
     ign_part_pairs: Sequence[str] = (),     # ["9,16", ...] reference format
-    window: int = 640,
+    window: int = 0,                        # deprecated, ignored (see below)
     max_pairs: int = 4096,
-    max_block_pairs: int = 49152,
+    max_block_pairs: int = 24576,
+    max_sup_pairs: int = 8192,
     sigma: float = 1e-4,
     penalize_outside: bool = True,
 ):
     """Build vertices [V,3] -> scalar penetration penalty.
 
-    `window` bounds how far apart (in sweep-sorted triangle rank) a
-    colliding pair may be; `max_block_pairs` is the budget for surviving
-    8-triangle block pairs and `max_pairs` the final narrow-phase budget
-    (the analog of the reference's max_collisions).  All three are
-    calibrated against an exact oracle in tests/test_collision_oracle.py
-    (measured on a ~21k-face posed human: lossless window ~500, ~40k block
-    pairs, ~1.6k final pairs); pairs beyond a budget are dropped silently,
-    so keep the budgets above the expected counts.
+    Broad phase: a three-level Morton-sorted AABB hierarchy (the TPU-shaped
+    analog of the reference's CUDA LBVH).  Triangles sort by the Morton code
+    of their AABB centroid, giving spatially tight 8-triangle blocks and
+    64-triangle superblocks; candidate generation is then
 
-    The two-level structure exists for the vmapped TPU energy: a flat
-    [F, window] mask costs B x F x window entries per evaluation (OOM at
-    production batch), while the block sweep is (window/8)x cheaper and the
-    8x8 refinement touches only the compacted block pairs.
+      0. superblock x superblock ALL-PAIRS AABB test (dense [ns, ns] mask,
+         ns ~ F/64: ~110k lane-ops at SMPL-X scale) -> compact to
+         `max_sup_pairs`;
+      1. 8x8 block refinement on surviving superblock pairs, plus a
+         conservative block-level part filter (blocks uniform in
+         segm/parents drop exactly when every contained pair would drop)
+         -> compact to `max_block_pairs`;
+      2. 8x8 triangle refinement with the exact FilterFaces part test
+         (same part, parent part, configured ignore list; schema of
+         smplx_parts_segm.pkl) -> compact to `max_pairs`.
 
-    The returned function exposes `.candidate_pairs(vertices)`
-    -> (idx_a [P], idx_b [P], valid [P]) for tests/diagnostics.
+    Unlike the earlier sorted-axis sweep there is NO window assumption: the
+    top level tests all superblock pairs, so the result is exact up to the
+    (oracle-calibrated) budgets.  `window` is accepted for call
+    compatibility and ignored.  Budgets measured on a ~21k-face posed,
+    self-touching human (tests/test_collision_oracle.py): ~4.0k superblock
+    pairs, ~12.4k block pairs, ~1.6k final pairs — defaults carry ~2x
+    margins.  All compactions use a cumsum-based stream compaction; every
+    mask is evaluated per-coordinate so vmapped temps stay [*, P, 8, 8]
+    bools, never [*, P, 8, 8, 3] floats.
+
+    The returned callable exposes:
+      .candidate_pairs(vertices) -> (idx_a [P], idx_b [P], valid [P])
+      .build(vertices)           -> aux (the pair list; no gradients)
+      .apply(vertices, aux)      -> penalty on a FIXED pair list, with a
+         per-eval AABB recheck so separated pairs score zero.
+    build/apply exist so the optimizer can refresh the broad phase once per
+    L-BFGS iteration instead of in every line-search evaluation (the
+    reference reruns its BVH every closure eval, but on TPU the sort +
+    compaction dominate the collision term; see fitting/lbfgs.py aux_fn).
+    fn(vertices) == fn.apply(vertices, fn.build(vertices)) is the exact
+    per-eval path.
     """
     ign = []
     for entry in ign_part_pairs:
         p, q = (int(v) for v in str(entry).split(","))
         ign.append((p, q))
     faces = jnp.asarray(faces)
+    faces_f = faces.astype(jnp.float32)   # vector-path gathers (see apply)
     F = faces.shape[0]
     nb = -(-F // _BLK)
     Fp = nb * _BLK
-    # Block reach covering triangle-rank distance `window` (+1 for the
-    # block-boundary remainder); self-pairs (offset 0) refine the within-
-    # block triangle pairs.
-    Wb = min(window // _BLK + 1, nb - 1)
-    Pb = min(max_block_pairs, nb * (Wb + 1))
+    ns = -(-nb // _SUP)
+    nbp = ns * _SUP
+    Ps = min(max_sup_pairs, ns * ns)
+    Pb = min(max_block_pairs, Ps * _SUP * _SUP)
     P = min(max_pairs, Pb * _BLK * _BLK)
 
     pad = Fp - F
+    spad = nbp - nb
     if segm is not None:
-        # pad ids: distinct negatives so padding never matches anything
-        segm_p = np.concatenate([np.asarray(segm, np.int32),
-                                 np.full(pad, -1, np.int32)])
-        parents_p = np.concatenate([np.asarray(parents, np.int32),
-                                    np.full(pad, -3, np.int32)])
+        # pad ids: distinct negatives so padding never matches anything.
+        # f32 storage keeps the permutation gather on the vector path
+        # (part ids are tiny, f32-exact).
+        segm_p = np.concatenate([np.asarray(segm, np.float32),
+                                 np.full(pad, -1, np.float32)])
+        parents_p = np.concatenate([np.asarray(parents, np.float32),
+                                    np.full(pad, -3, np.float32)])
         segm_j = jnp.asarray(segm_p)
         parents_j = jnp.asarray(parents_p)
     else:
@@ -174,89 +228,182 @@ def make_collision_fn(
         aabb_min = jnp.min(tris, axis=1)                # [F, 3]
         aabb_max = jnp.max(tris, axis=1)
 
-        # Sweep along the largest-extent axis (the height axis for a
-        # standing/posed human): this minimizes how many triangles share a
-        # slab of the sort key, i.e. the window a true pair can span.
-        ext = jnp.max(aabb_max, axis=0) - jnp.min(aabb_min, axis=0)   # [3]
-        axis = jnp.argmax(ext)
-        key = aabb_min.T[axis]                          # [F] dynamic row
-        order = jnp.argsort(key)
+        # ---- Morton sort: spatially tight blocks ------------------------
+        cent = 0.5 * (aabb_min + aabb_max)
+        lo = jnp.min(cent, axis=0)
+        span = jnp.maximum(jnp.max(cent, axis=0) - lo, 1e-9)
+        qc = jnp.clip((cent - lo) / span * 1023.0, 0.0, 1023.0)
+        qi = qc.astype(jnp.uint32)
+        code = (_interleave3(qi[:, 0])
+                | (_interleave3(qi[:, 1]) << 1)
+                | (_interleave3(qi[:, 2]) << 2))
+        order = jnp.argsort(code)
 
         big = jnp.asarray(1e30, aabb_min.dtype)
         amin_s = jnp.concatenate(
             [aabb_min[order], jnp.full((pad, 3), big)], axis=0)   # [Fp, 3]
         amax_s = jnp.concatenate(
-            [aabb_max[order], jnp.full((pad, 3), -big)], axis=0)  # empty boxes
+            [aabb_max[order], jnp.full((pad, 3), -big)], axis=0)  # empty
 
-        # ---- level 1: block sweep ----------------------------------------
         bmin = amin_s.reshape(nb, _BLK, 3).min(axis=1)  # [nb, 3]
         bmax = amax_s.reshape(nb, _BLK, 3).max(axis=1)
-        rowb = jnp.arange(nb)[:, None]
-        offsb = jnp.arange(0, Wb + 1)[None, :]
-        nbrb = rowb + offsb                             # [nb, Wb+1]
-        okb = nbrb < nb
-        nbrb_c = jnp.minimum(nbrb, nb - 1)
-        maskb = okb
-        for k in range(3):  # per-coordinate: keeps vmapped temps [*, nb, Wb]
-            nb_min_k = bmin[:, k][nbrb_c]
-            nb_max_k = bmax[:, k][nbrb_c]
-            maskb &= (nb_min_k <= bmax[:, k][:, None]) \
-                & (nb_max_k >= bmin[:, k][:, None])
-
-        (posb,) = jnp.nonzero(maskb.reshape(-1), size=Pb, fill_value=0)
-        validb = jnp.arange(Pb) < jnp.sum(maskb)
-        bi = posb // (Wb + 1)
-        bj = jnp.minimum(bi + posb % (Wb + 1), nb - 1)
-
-        # ---- level 2: 8x8 triangle refinement per block pair -------------
-        ra = bi[:, None] * _BLK + jnp.arange(_BLK)[None, :]   # [Pb, 8] ranks
-        rb = bj[:, None] * _BLK + jnp.arange(_BLK)[None, :]
-        m = validb[:, None, None] & (ra[:, :, None] < rb[:, None, :])
-        for k in range(3):
-            a_min_k = amin_s[:, k][ra]                  # [Pb, 8]
-            a_max_k = amax_s[:, k][ra]
-            b_min_k = amin_s[:, k][rb]
-            b_max_k = amax_s[:, k][rb]
-            m &= (b_min_k[:, None, :] <= a_max_k[:, :, None]) \
-                & (b_max_k[:, None, :] >= a_min_k[:, :, None])
+        smin = jnp.concatenate(
+            [bmin, jnp.full((spad, 3), big)], axis=0
+        ).reshape(ns, _SUP, 3).min(axis=1)              # [ns, 3]
+        smax = jnp.concatenate(
+            [bmax, jnp.full((spad, 3), -big)], axis=0
+        ).reshape(ns, _SUP, 3).max(axis=1)
 
         if segm_j is not None:
-            segm_s = segm_j[order]
-            parents_s = parents_j[order]
-            # padded ranks (>= F) must never pass the filter: their ids are
-            # the pad sentinels, and pad AABBs are empty anyway.
-            sa = segm_s[jnp.minimum(ra, F - 1)]
-            pa = parents_s[jnp.minimum(ra, F - 1)]
-            sb = segm_s[jnp.minimum(rb, F - 1)]
-            pb = parents_s[jnp.minimum(rb, F - 1)]
-            drop = (sa[:, :, None] == sb[:, None, :]) \
-                | (pa[:, :, None] == sb[:, None, :]) \
-                | (pb[:, None, :] == sa[:, :, None])
-            for p, q in ign:
-                drop |= ((sa[:, :, None] == p) & (sb[:, None, :] == q)) \
-                    | ((sa[:, :, None] == q) & (sb[:, None, :] == p))
-            m &= ~drop
+            # permute the real entries, keep the pad sentinels at the tail
+            segm_s = jnp.concatenate([segm_j[:F][order], segm_j[F:]])  # [Fp]
+            parents_s = jnp.concatenate(
+                [parents_j[:F][order], parents_j[F:]])
+            sgb = segm_s.reshape(nb, _BLK)
+            prb = parents_s.reshape(nb, _BLK)
+            # Uniform = one part AND one parent across the block (pad
+            # sentinels break uniformity, which is conservative).
+            buni = (jnp.all(sgb == sgb[:, :1], axis=1)
+                    & jnp.all(prb == prb[:, :1], axis=1))  # [nb]
+            bseg = sgb[:, 0]
+            bpar = prb[:, 0]
 
-        # ---- final compaction to the narrow-phase budget ------------------
-        flat = m.reshape(-1)
-        (pos,) = jnp.nonzero(flat, size=P, fill_value=0)
-        valid = jnp.arange(P) < jnp.sum(flat)
-        pi = pos // (_BLK * _BLK)
-        w = pos % (_BLK * _BLK)
-        ra_f = ra[pi, w // _BLK]
-        rb_f = rb[pi, w % _BLK]
+        def rel_drop(sa, pa, sb, pb):
+            drop = (sa == sb) | (pa == sb) | (pb == sa)
+            for p_, q_ in ign:
+                drop |= ((sa == p_) & (sb == q_)) | ((sa == q_) & (sb == p_))
+            return drop
+
+        # ---- level 0: superblock all-pairs ------------------------------
+        iu = jnp.arange(ns)
+        ms = iu[:, None] <= iu[None, :]                 # [ns, ns] upper+diag
+        for k in range(3):
+            ms &= (smin[:, k][:, None] <= smax[:, k][None, :]) \
+                & (smax[:, k][:, None] >= smin[:, k][None, :])
+        posS, validS = _compact(ms.reshape(-1), Ps)
+        si = posS // ns
+        sj = posS % ns
+        # f32 copies of every table that is later GATHERED: the TPU backend
+        # routes s32/bool-OPERAND gathers through the serial scalar core
+        # (profiled: the three index-chain gathers cost 330 ms/call at
+        # B=32 vs ~1 ms vectorized); f32-operand gathers take the VPU
+        # path, and every value here is < 2^24 so f32 is exact.
+        fp32 = jnp.float32
+        si_f = si.astype(fp32)
+        sj_f = sj.astype(fp32)
+
+        # ---- level 1: 8x8 block refinement ------------------------------
+        # All block-level arrays are laid out [ns, _SUP] so the per-pair
+        # fetches are ROW gathers indexed by si/sj (a scalar gather
+        # `bmin[:, k][ba]` is ~8x slower on TPU than the row form).
+        ba = si[:, None] * _SUP + jnp.arange(_SUP)[None, :]   # [Ps, 8]
+        bb = sj[:, None] * _SUP + jnp.arange(_SUP)[None, :]
+        mb = (validS[:, None, None]
+              & (ba[:, :, None] <= bb[:, None, :])
+              & (ba < nb)[:, :, None] & (bb < nb)[:, None, :])
+
+        def sup_rows(col):                              # [nb] -> [ns, _SUP]
+            return jnp.concatenate(
+                [col, jnp.full((spad,), col[-1])]).reshape(ns, _SUP)
+
+        bmin_sup = [sup_rows(bmin[:, k]) for k in range(3)]
+        bmax_sup = [sup_rows(bmax[:, k]) for k in range(3)]
+        for k in range(3):
+            a_min = bmin_sup[k][si]                     # [Ps, 8] row gathers
+            a_max = bmax_sup[k][si]
+            b_min = bmin_sup[k][sj]
+            b_max = bmax_sup[k][sj]
+            mb &= (b_min[:, None, :] <= a_max[:, :, None]) \
+                & (b_max[:, None, :] >= a_min[:, :, None])
+        if segm_j is not None:
+            ua = sup_rows(buni.astype(fp32))[si] > 0.5  # [Ps, 8]
+            ub = sup_rows(buni.astype(fp32))[sj] > 0.5
+            dropb = (ua[:, :, None] & ub[:, None, :]) & rel_drop(
+                sup_rows(bseg.astype(fp32))[si][:, :, None],
+                sup_rows(bpar.astype(fp32))[si][:, :, None],
+                sup_rows(bseg.astype(fp32))[sj][:, None, :],
+                sup_rows(bpar.astype(fp32))[sj][:, None, :],
+            )
+            mb &= ~dropb
+        posB, validB = _compact(mb.reshape(-1), Pb)
+        pi = posB // (_SUP * _SUP)
+        wb_ = posB % (_SUP * _SUP)
+        # Rebuild block ids arithmetically (index math + [Pb]-sized f32
+        # gathers of si/sj, not 2-D gathers into ba/bb).
+        bi_f = jnp.minimum(si_f[pi] * _SUP + (wb_ // _SUP).astype(fp32),
+                           nb - 1)
+        bj_f = jnp.minimum(sj_f[pi] * _SUP + (wb_ % _SUP).astype(fp32),
+                           nb - 1)
+        bi = bi_f.astype(jnp.int32)
+        bj = bj_f.astype(jnp.int32)
+
+        # ---- level 2: 8x8 triangle refinement ---------------------------
+        ra = bi[:, None] * _BLK + jnp.arange(_BLK)[None, :]   # [Pb, 8] ranks
+        rb = bj[:, None] * _BLK + jnp.arange(_BLK)[None, :]
+        mt = validB[:, None, None] & (ra[:, :, None] < rb[:, None, :])
+        amin_blk = [amin_s[:, k].reshape(nb, _BLK) for k in range(3)]
+        amax_blk = [amax_s[:, k].reshape(nb, _BLK) for k in range(3)]
+        for k in range(3):
+            a_min = amin_blk[k][bi]                     # [Pb, 8] row gathers
+            a_max = amax_blk[k][bi]
+            b_min = amin_blk[k][bj]
+            b_max = amax_blk[k][bj]
+            mt &= (b_min[:, None, :] <= a_max[:, :, None]) \
+                & (b_max[:, None, :] >= a_min[:, :, None])
+        if segm_j is not None:
+            sgb_f = sgb.astype(fp32)
+            prb_f = prb.astype(fp32)
+            sa = sgb_f[bi]                              # [Pb, 8]
+            pa = prb_f[bi]
+            sb = sgb_f[bj]
+            pb = prb_f[bj]
+            mt &= ~rel_drop(sa[:, :, None], pa[:, :, None],
+                            sb[:, None, :], pb[:, None, :])
+
+        # ---- final compaction to the narrow-phase budget ----------------
+        posT, validT = _compact(mt.reshape(-1), P)
+        ti = posT // (_BLK * _BLK)
+        wt = posT % (_BLK * _BLK)
+        ra_f = bi_f[ti] * _BLK + (wt // _BLK).astype(fp32)
+        rb_f = bj_f[ti] * _BLK + (wt % _BLK).astype(fp32)
         # map sorted (padded) ranks back to original face ids
-        idx_a = order[jnp.minimum(ra_f, F - 1)]
-        idx_b = order[jnp.minimum(rb_f, F - 1)]
-        return idx_a, idx_b, valid
+        order_f = order.astype(fp32)
+        idx_a = order_f[
+            jnp.minimum(ra_f, F - 1).astype(jnp.int32)].astype(jnp.int32)
+        idx_b = order_f[
+            jnp.minimum(rb_f, F - 1).astype(jnp.int32)].astype(jnp.int32)
+        return idx_a, idx_b, validT
+
+    def build(vertices: jax.Array):
+        """Broad phase as reusable aux: the compacted pair list (ints)."""
+        return candidate_pairs(vertices)
+
+    def apply(vertices: jax.Array, aux) -> jax.Array:
+        """Cone penalty on a fixed pair list; differentiable in vertices.
+
+        Pairs are rechecked for AABB overlap at the CURRENT vertices so a
+        stale list (refreshed once per optimizer iteration) never penalizes
+        pairs that have separated since the refresh."""
+        idx_a, idx_b, valid = aux
+        # faces_f: f32 copy of the face table — an s32-operand gather runs
+        # on the TPU's serial scalar core, the f32 one on the VPU.
+        va = faces_f[idx_a].astype(jnp.int32)           # [P, 3]
+        vb = faces_f[idx_b].astype(jnp.int32)
+        ta = vertices[va]                               # [P, 3, 3]
+        tb = vertices[vb]
+        ta_s = jax.lax.stop_gradient(ta)
+        tb_s = jax.lax.stop_gradient(tb)
+        live = valid
+        for k in range(3):
+            live &= (tb_s[..., k].min(-1) <= ta_s[..., k].max(-1)) \
+                & (tb_s[..., k].max(-1) >= ta_s[..., k].min(-1))
+        pen = _cone_penalty_pairs(ta, tb, sigma, penalize_outside)
+        return jnp.sum(pen * live.astype(pen.dtype))
 
     def collision_penalty(vertices: jax.Array) -> jax.Array:
-        idx_a, idx_b, valid = candidate_pairs(vertices)
-        tris = vertices[faces]                          # differentiable
-        ta = tris[idx_a]                                # [P, 3, 3]
-        tb = tris[idx_b]
-        pen = _cone_penalty_pairs(ta, tb, sigma, penalize_outside)
-        return jnp.sum(pen * valid.astype(pen.dtype))
+        return apply(vertices, build(vertices))
 
     collision_penalty.candidate_pairs = candidate_pairs
+    collision_penalty.build = build
+    collision_penalty.apply = apply
     return collision_penalty

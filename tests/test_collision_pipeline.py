@@ -120,6 +120,10 @@ def test_per_stage_collision_mask_matches_full():
     options = FitOptions(
         lbfgs=LBFGSConfig(max_iters=6, history=6, max_ls=8),
         camera_lbfgs=LBFGSConfig(max_iters=4, history=4, max_ls=8),
+        # Exact per-eval broad phase: this test compares two schedules of
+        # the SAME optimization, so the iter-hoisted pair refresh would add
+        # an extra (legitimate) source of trajectory divergence.
+        coll_broad_refresh="eval",
     )
     common = dict(
         edge_idxs=jnp.asarray([[5, 12], [2, 9]]), collision_fn=collision_fn,

@@ -163,3 +163,53 @@ class TestRobustness:
         res = minimize(fun, jnp.zeros(3))
         assert int(res.n_iters) == 0
         assert bool(res.converged)
+
+
+class TestAuxFn:
+    """The per-iteration aux hook (collision broad-phase hoisting)."""
+
+    def test_constant_aux_matches_plain_path(self):
+        # An aux that does not change the objective must reproduce the
+        # no-aux trajectory exactly (same iterates, same final state).
+        def rosen(x):
+            return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                           + (1.0 - x[:-1]) ** 2)
+
+        x0 = jnp.asarray([-1.2, 1.0, 0.7], jnp.float32)
+        cfg = LBFGSConfig(max_iters=80)
+        plain = minimize(rosen, x0, cfg=cfg)
+        aux = minimize(lambda x, a: rosen(x) + 0.0 * a["c"],
+                       x0, cfg=cfg,
+                       aux_fn=lambda x: {"c": jnp.sum(x) * 0.0})
+        # The aux program compiles with one extra evaluation per iteration,
+        # so fp fusion noise makes the chaotic trajectories diverge at the
+        # 1e-5 level — compare the minimizer, not the path.
+        np.testing.assert_allclose(np.asarray(aux.x), np.asarray(plain.x),
+                                   rtol=1e-3)
+        assert bool(aux.converged)
+
+    def test_aux_refreshes_per_iteration(self):
+        # Quadratic whose center comes from aux_fn(x) = stop_gradient(x)/2
+        # plus a ridge: under a FROZEN aux0 = x0/2 the minimizer is
+        # 0.8 * aux0 = 0.4 * x0 = 3.2; with per-iteration refresh each step
+        # contracts the iterate by ~0.4, so reaching far below 3.2 proves
+        # the aux is recomputed as the iterate moves.  (It stops once the
+        # line search lands on an exact frozen-aux stationary point, not at
+        # 0 — the optimizer cannot see future refreshes.)
+        def fun(x, aux):
+            return jnp.sum((x - aux) ** 2) + 0.25 * jnp.sum(x ** 2)
+
+        x0 = jnp.ones(3, jnp.float32) * 8.0
+        res = minimize(fun, x0, cfg=LBFGSConfig(max_iters=60),
+                       aux_fn=lambda x: jax.lax.stop_gradient(x) / 2.0)
+        assert float(jnp.max(jnp.abs(res.x))) < 1.0, np.asarray(res.x)
+
+    def test_aux_under_vmap_and_jit(self):
+        def fun(x, aux):
+            return jnp.sum((x - aux) ** 2) + 0.25 * jnp.sum(x ** 2)
+
+        run = jax.jit(jax.vmap(lambda x: minimize(
+            fun, x, cfg=LBFGSConfig(max_iters=60),
+            aux_fn=lambda z: jax.lax.stop_gradient(z) * 0.5).x))
+        out = run(jnp.ones((4, 2)) * 4.0)
+        assert float(jnp.max(jnp.abs(out))) < 0.5  # frozen aux stops at 1.6

@@ -65,44 +65,70 @@ def _transform_mat(R, t):
 
 @pytest.fixture(scope="module")
 def ref():
-    _stub(
+    # Everything installed into sys.modules here is removed at teardown:
+    # the stubs would otherwise shadow the REAL PIL/cv2/... for every test
+    # that runs after this module in the same process (a stubbed PIL.Image
+    # without fromarray broke test_viz's browse CLI), and the reference's
+    # flat top-level module names ("utils", "prior", ...) are far too
+    # generic to leave in the global module cache.
+    created = []
+
+    def stub(name, **attrs):
+        m = _stub(name, **attrs)
+        if sys.modules.get(name) is m and not hasattr(m, "__file__"):
+            created.append(name)
+        return m
+
+    stub(
         "open3d",
         geometry=types.SimpleNamespace(PointCloud=object),
         utility=types.SimpleNamespace(Vector3dVector=object),
     )
     for n in ("trimesh", "pyrender", "cv2"):
-        _stub(n)
-    _stub("skimage")
-    _stub("skimage.io", imread=lambda *a, **k: None)
-    _stub("skimage.transform", estimate_transform=None, warp=None)
-    _stub("PIL")
-    _stub("PIL.Image")
-    _stub("PIL.ImageDraw")
-    hbp = _stub("human_body_prior")
-    _stub("human_body_prior.tools")
-    _stub(
+        stub(n)
+    stub("skimage")
+    stub("skimage.io", imread=lambda *a, **k: None)
+    stub("skimage.transform", estimate_transform=None, warp=None)
+    stub("PIL")
+    stub("PIL.Image")
+    stub("PIL.ImageDraw")
+    hbp = stub("human_body_prior")
+    stub("human_body_prior.tools")
+    stub(
         "human_body_prior.tools.visualization_tools",
         render_smpl_params=None, imagearray2file=None,
     )
-    _stub("human_body_prior.body_model")
-    _stub("human_body_prior.body_model.body_model", BodyModel=object)
+    stub("human_body_prior.body_model")
+    stub("human_body_prior.body_model.body_model", BodyModel=object)
     hbp.tools = sys.modules["human_body_prior.tools"]
-    smplx = _stub("smplx")
-    lbs = _stub("smplx.lbs", transform_mat=_transform_mat)
+    smplx = stub("smplx")
+    lbs = stub("smplx.lbs", transform_mat=_transform_mat)
     smplx.lbs = lbs
-    _stub("mesh_viewer", MeshViewer=object)
+    stub("mesh_viewer", MeshViewer=object)
 
-    if REF_DIR not in sys.path:
+    path_added = REF_DIR not in sys.path
+    if path_added:
         sys.path.insert(0, REF_DIR)
     import importlib
 
+    ref_names = ["prior", "utils", "camera", "optimizers",
+                 "optimizers.lbfgs_ls"]
+    preexisting = {n for n in ref_names if n in sys.modules}
     mods = types.SimpleNamespace(
         prior=importlib.import_module("prior"),
         utils=importlib.import_module("utils"),
         camera=importlib.import_module("camera"),
         lbfgs_ls=importlib.import_module("optimizers.lbfgs_ls"),
     )
-    return mods
+    yield mods
+
+    for name in created:
+        sys.modules.pop(name, None)
+    for name in ref_names:
+        if name not in preexisting:
+            sys.modules.pop(name, None)
+    if path_added and REF_DIR in sys.path:
+        sys.path.remove(REF_DIR)
 
 
 def _synthetic_gmm_arrays(K=8, D=69, seed=3):
