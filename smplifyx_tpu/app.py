@@ -47,6 +47,9 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
     {model_folder}/smplx/SMPLX_{GENDER}.npz is loaded per gender.
     """
     import jax
+
+    if cfg.platform:
+        jax.config.update("jax_platforms", cfg.platform)
     import jax.numpy as jnp
 
     from smplifyx_tpu.data.keypoints import create_dataset
@@ -198,13 +201,14 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
     )
     ls, rs = SHOULDER_IDXS_BY_FORMAT[cfg.format.lower()]
     # Reference budget: maxiters outer x maxiters inner with ftol/gtol early
-    # exit; one flat budget here.
-    lbfgs_iters = cfg.maxiters * 5
+    # exit; one flat budget here (overridable via lbfgs_iters_per_stage).
+    lbfgs_iters = cfg.lbfgs_iters_per_stage or cfg.maxiters * 5
     options = FitOptions(
         lbfgs=LBFGSConfig(
             max_iters=lbfgs_iters, history=cfg.history_size,
             max_ls=cfg.max_line_search, lr=cfg.lr,
             ftol=cfg.ftol, gtol=cfg.gtol,
+            aux_every=cfg.coll_broad_every,
         ),
         camera_lbfgs=LBFGSConfig(
             max_iters=cfg.maxiters * 2, history=8, lr=cfg.lr,

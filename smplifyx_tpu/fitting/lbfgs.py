@@ -68,6 +68,13 @@ class LBFGSConfig:
     # eval count for marginal loss improvement, so a budget close to the
     # p90 eval count cuts wall-clock with loss changes only on stragglers.
     max_evals: int = struct.field(pytree_node=False, default=0)
+    # Refresh cadence for minimize()'s aux_fn: rebuild aux every this many
+    # L-BFGS iterations (1 = every iteration).  Only read when aux_fn is
+    # given.  Larger values amortize an expensive aux (the collision broad
+    # phase's sort + compaction) over more iterations at the cost of staler
+    # candidate pairs; the apply-side AABB recheck bounds the error to
+    # MISSED new contacts, never phantom ones.
+    aux_every: int = struct.field(pytree_node=False, default=1)
     lr: float = 1.0
     ftol: float = 1e-9   # relative f change (reference utils.rel_change)
     gtol: float = 1e-9   # max-abs gradient
@@ -338,6 +345,9 @@ class _MinState(NamedTuple):
     done: jax.Array
     converged: jax.Array
     t_prev: jax.Array
+    # Aux-mode only: convergence confirmed under a FRESH aux (see the
+    # outer refresh loop in minimize); always False on the plain path.
+    sealed: jax.Array
 
 
 def minimize(
@@ -355,9 +365,9 @@ def minimize(
     data via closure — gives the batched optimizer.
 
     aux_fn: optional `x -> aux` (any pytree, not differentiated).  When
-    given, `fun` must take `(x, aux)`; aux is recomputed once per L-BFGS
-    iteration (at the current iterate) and every line-search evaluation of
-    that iteration reuses it.  This is the hook for expensive
+    given, `fun` must take `(x, aux)`; aux is recomputed every
+    `cfg.aux_every` L-BFGS iterations (at the then-current iterate) and
+    every evaluation in between reuses it.  This is the hook for expensive
     non-differentiated preprocessing whose result changes slowly along the
     trajectory — e.g. the collision broad phase (ops/collision.py
     `.build`/`.apply`): the sort + compaction dominate the penalty's cost,
@@ -403,29 +413,14 @@ def minimize(
         done=(jnp.max(jnp.abs(g0)) <= cfg.gtol) | ~jnp.isfinite(f0),
         converged=(jnp.max(jnp.abs(g0)) <= cfg.gtol) & jnp.isfinite(f0),
         t_prev=jnp.asarray(cfg.lr, dtype),
+        sealed=jnp.asarray(False),
     )
 
     def cond(s: _MinState):
         under_budget = (cfg.max_evals <= 0) | (s.n_evals < cfg.max_evals)
         return (~s.done) & (s.it < cfg.max_iters) & under_budget
 
-    def body(s: _MinState) -> _MinState:
-        # Refresh the per-iteration aux at the current iterate; the whole
-        # line search below reuses it.  f/g MUST be re-evaluated under the
-        # fresh aux: the stored state came from the previous aux, and a
-        # stale Armijo reference makes every trial look like an ascent
-        # (t -> 0, spurious convergence).  Costs one extra evaluation per
-        # iteration — the line search it amortizes averages ~5.
-        if aux_fn is not None:
-            aux = aux_fn(s.x)
-            eval_fn = make_eval(aux)
-            f_cur, g_cur = eval_fn(s.x)
-            extra_eval = 1
-        else:
-            eval_fn = make_eval(None)
-            f_cur, g_cur = s.f, s.g
-            extra_eval = 0
-        s = s._replace(f=f_cur, g=g_cur)
+    def body(s: _MinState, eval_fn) -> _MinState:
         first = s.n_hist == 0
         d = _two_loop(s.g, s.S_hist, s.Y_hist, s.rho, s.n_hist, m)
         d = jnp.where(first, -s.g, d)
@@ -504,13 +499,58 @@ def minimize(
         return _MinState(
             x=x_out, f=f_out, g=g_out,
             S_hist=S_hist, Y_hist=Y_hist, rho=rho, n_hist=n_hist,
-            it=s.it + 1, n_evals=s.n_evals + ls_evals + extra_eval,
+            it=s.it + 1, n_evals=s.n_evals + ls_evals,
             done=non_finite | conv,
             converged=conv & ~non_finite,
             t_prev=jnp.where(t > 0, t, s.t_prev),
+            sealed=s.sealed,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
+    if aux_fn is None:
+        plain_eval = make_eval(None)
+        final = jax.lax.while_loop(
+            cond, lambda s: body(s, plain_eval), init)
+    else:
+        # Nested loops, NOT a lax.cond on (it % aux_every): under vmap a
+        # batched cond predicate lowers to select — BOTH branches would
+        # execute for every lane, so the refresh would never be skipped.
+        # The outer loop body rebuilds aux unconditionally (once per
+        # period, vectorized across lanes); the inner bounded while runs
+        # up to aux_every L-BFGS iterations against the frozen aux.
+        #
+        # Convergence inside a period is only PROVISIONAL: the lane
+        # minimized the stale-aux objective.  The next refresh either
+        # confirms it (fresh gradient still within gtol -> the outer loop
+        # exits) or reopens the lane.  Without this, a lane could stop on
+        # a stationary point of an outdated collision pair list.
+        K = max(1, cfg.aux_every)
+
+        def outer_cond(s: _MinState):
+            under_budget = (cfg.max_evals <= 0) | (s.n_evals < cfg.max_evals)
+            return (~s.sealed) & (s.it < cfg.max_iters) & under_budget
+
+        def outer_body(s: _MinState) -> _MinState:
+            # f/g MUST be re-evaluated under the fresh aux: a stale Armijo
+            # reference makes every line-search trial look like an ascent
+            # (t -> 0, spurious convergence).  Costs one evaluation per
+            # refresh period.
+            aux = aux_fn(s.x)
+            eval_fn = make_eval(aux)
+            f_cur, g_cur = eval_fn(s.x)
+            g_small = jnp.max(jnp.abs(g_cur)) <= cfg.gtol
+            confirm = s.done & (g_small | ~jnp.isfinite(f_cur))
+            s = s._replace(f=f_cur, g=g_cur, n_evals=s.n_evals + 1,
+                           sealed=confirm, done=confirm,
+                           converged=s.converged & confirm)
+            period_end = s.it + K
+
+            def inner_cond(t: _MinState):
+                return cond(t) & (t.it < period_end)
+
+            return jax.lax.while_loop(
+                inner_cond, lambda t: body(t, eval_fn), s)
+
+        final = jax.lax.while_loop(outer_cond, outer_body, init)
     return LBFGSResult(
         x=final.x, f=final.f, g=final.g,
         n_iters=final.it, n_evals=final.n_evals, converged=final.converged,

@@ -2,31 +2,35 @@
 
 The skinning step is the widest op in the SMPL-X forward: per batch element,
 T = W @ A  ([V, J] @ [J, 16] on the MXU), followed by applying each vertex's
-4x4 transform to its rest position (VPU).  XLA emits this as a matmul plus
-several elementwise ops with [B, V, 4, 4] intermediates round-tripping
-through HBM (~10475*16 floats per frame per eval); the Pallas kernel fuses
-transform-blend and application in VMEM, writing only the final [tile, 3]
-vertices.
+4x4 transform to its rest position (VPU).  XLA materializes the [B, V, 16]
+transform tensor in HBM between the matmul and the elementwise application
+(~670 KB per frame per evaluation); this kernel keeps it in VMEM and writes
+only the final [3, B, tile] vertex block.
 
-Grid: (B, V / tile).  Per step: W-tile [tile, J] and the frame's A [J, 16]
-feed one MXU matmul; the resulting per-vertex transforms are applied in
-registers.  J=55 is padded to 64 lanes by the caller via weight/A padding.
+Grid: (V / 512,), everything per-step resident in VMEM:
+
+    T_t  =  A_r [16B, J]  @  W_T-tile [J, 512]      (one MXU matmul/step)
+    out[k] = T_t[0::4-ish slices] * coords + translation rows  (VPU)
+
+Layout choices are the whole game (learned from round-1's 8.5x-SLOWER
+(B, V/256) grid, where per-step [256,55]@[55,16] matmuls could not amortize
+DMA):
+  * the batch lives INSIDE the matmul ([16B, J] left operand), so one grid
+    step does the whole batch's tile at MXU-worthy shapes
+    ([2048, 64] @ [64, 512] at B=128);
+  * A is pre-arranged [16, B, J] -> [16B, J] and vertices [3, B, V] OUTSIDE
+    the kernel (cheap XLA transposes), so every in-kernel slice is static
+    and minor-dim-aligned — no in-kernel relayouts;
+  * J pads to 64 lanes, V to a 512 multiple.
+
+MEASURED (v5e, B=128, V=10475, f32): see `lbs_apply` docstring / bench in
+tests; the reference XLA einsum path is the semantic baseline and the
+CPU/interpret fallback.
 
 Differentiable via jax.custom_vjp: the backward is expressed with plain XLA
 einsums (dA = W^T @ dT, dv = R^T g), which XLA already fuses well — the
-forward is the hot path (it runs inside every line-search evaluation).
-
-Use `lbs_apply(..., use_pallas=True)` to opt in; the default XLA path is the
-semantic reference and the CPU/interpret fallback.
-
-MEASURED (v5e, B=64, V=10475): bit-exact vs XLA, but the current
-(B, V/256) grid is 8.5x SLOWER than XLA's fused matmul (0.70 vs 5.96 ms) —
-the per-step MXU work ([256,55]@[55,16]) is too small to amortize DMA.
-Additionally, inside the fitting energy XLA fuses/eliminates unused vertex
-work entirely (the data term only consumes ~70 extracted rows), which a
-monolithic kernel would defeat.  Status: correct, opt-in, NOT in the hot
-loop; a (V-tile, batched-A) regrid is the known fix if a vertex-
-materializing hot path appears (e.g. collision-heavy schedules).
+forward is the hot path (it runs inside every line-search evaluation of
+collision-enabled stages).
 """
 
 from __future__ import annotations
@@ -37,13 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:  # TPU-only import; absent on CPU-only installs of older jaxlibs
-    from jax.experimental.pallas import tpu as pltpu
-
-    _HAS_PLTPU = True
-except Exception:  # pragma: no cover
-    pltpu = None
-    _HAS_PLTPU = False
+_TILE = 512
 
 
 def _lbs_reference(weights: jax.Array, A: jax.Array, v_posed: jax.Array):
@@ -57,41 +55,53 @@ def _lbs_reference(weights: jax.Array, A: jax.Array, v_posed: jax.Array):
     return jnp.stack([vx, vy, vz], axis=-1)
 
 
-def _kernel(w_ref, a_ref, v_ref, out_ref):
-    # Blocks keep their leading singleton batch dim:
-    # w_ref: [TILE, J]; a_ref: [1, J, 16]; v_ref: [1, TILE, 3].
-    T = jnp.dot(w_ref[:], a_ref[0], preferred_element_type=jnp.float32)
-    v = v_ref[0]
-    x, y, z = v[:, 0], v[:, 1], v[:, 2]
-    vx = T[:, 0] * x + T[:, 1] * y + T[:, 2] * z + T[:, 3]
-    vy = T[:, 4] * x + T[:, 5] * y + T[:, 6] * z + T[:, 7]
-    vz = T[:, 8] * x + T[:, 9] * y + T[:, 10] * z + T[:, 11]
-    out_ref[0] = jnp.stack([vx, vy, vz], axis=-1)
+def _kernel(a_ref, wt_ref, v_ref, out_ref, *, B: int):
+    # a_ref: [16B, J] (k-major: row k*B+b holds A[b, :, k])
+    # wt_ref: [J, TILE]; v_ref / out_ref: [3, B, TILE]
+    T = jnp.dot(a_ref[:], wt_ref[:], preferred_element_type=jnp.float32)
+    x = v_ref[0]                                   # [B, TILE]
+    y = v_ref[1]
+    z = v_ref[2]
+
+    def row(k):                                    # [B, TILE] slice of T
+        return T[k * B:(k + 1) * B, :]
+
+    out_ref[0] = row(0) * x + row(1) * y + row(2) * z + row(3)
+    out_ref[1] = row(4) * x + row(5) * y + row(6) * z + row(7)
+    out_ref[2] = row(8) * x + row(9) * y + row(10) * z + row(11)
 
 
-def _lbs_pallas_call(weights, A, v_posed, tile: int, interpret: bool):
+def _lbs_pallas_call(weights, A, v_posed, interpret: bool):
     B, V, _ = v_posed.shape
     J = weights.shape[1]
-    pad_v = (-V) % tile
+    pad_j = (-J) % 64
+    pad_v = (-V) % _TILE
+    if pad_j:
+        weights = jnp.pad(weights, ((0, 0), (0, pad_j)))
+        A = jnp.pad(A, ((0, 0), (0, pad_j), (0, 0)))
     if pad_v:
         weights = jnp.pad(weights, ((0, pad_v), (0, 0)))
         v_posed = jnp.pad(v_posed, ((0, 0), (0, pad_v), (0, 0)))
-    Vp = V + pad_v
+    Vp, Jp = V + pad_v, J + pad_j
 
-    grid = (B, Vp // tile)
+    # Host-side (XLA) relayouts — cheap, fused transposes.
+    wt = weights.T                                  # [Jp, Vp]
+    a_r = jnp.transpose(A, (2, 0, 1)).reshape(16 * B, Jp)   # [16B, Jp]
+    v_r = jnp.transpose(v_posed, (2, 0, 1))         # [3, B, Vp]
+
     out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Vp, 3), v_posed.dtype),
-        grid=grid,
+        partial(_kernel, B=B),
+        out_shape=jax.ShapeDtypeStruct((3, B, Vp), v_posed.dtype),
+        grid=(Vp // _TILE,),
         in_specs=[
-            pl.BlockSpec((tile, J), lambda b, i: (i, 0)),
-            pl.BlockSpec((1, J, 16), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, tile, 3), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((16 * B, Jp), lambda i: (0, 0)),
+            pl.BlockSpec((Jp, _TILE), lambda i: (0, i)),
+            pl.BlockSpec((3, B, _TILE), lambda i: (0, 0, i)),
         ],
-        out_specs=pl.BlockSpec((1, tile, 3), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((3, B, _TILE), lambda i: (0, 0, i)),
         interpret=interpret,
-    )(weights, A, v_posed)
-    return out[:, :V]
+    )(a_r, wt, v_r)
+    return jnp.transpose(out, (1, 2, 0))[:, :V]     # [B, V, 3]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -99,11 +109,12 @@ def lbs_apply(weights, A, v_posed, use_pallas=False, interpret=False):
     """Fused LBS: weights [V, J], A [B, J, 16], v_posed [B, V, 3] -> [B, V, 3].
 
     weights is treated as a constant (no gradient) — it is model data.
+    use_pallas=True takes the VMEM-fused kernel above (TPU; set
+    interpret=True on CPU), default is the XLA einsum reference.
     """
     if not use_pallas:
         return _lbs_reference(weights, A, v_posed)
-    return _lbs_pallas_call(weights, A, v_posed, tile=256,
-                            interpret=interpret)
+    return _lbs_pallas_call(weights, A, v_posed, interpret=interpret)
 
 
 def _fwd(weights, A, v_posed, use_pallas, interpret):

@@ -73,13 +73,27 @@ class Config:
     df_cone_height: float = 0.5
     penalize_outside: bool = False
     max_collisions: int = 8
-    # Sweep broad-phase calibration (tests/test_collision_oracle.py measures
-    # these against an exact all-pairs oracle at SMPL-X face count: minimal
-    # lossless window ~500, surviving pairs ~1.6k under heavy self-contact).
+    # Broad-phase calibration (tests/test_collision_oracle.py measures the
+    # budgets against an exact all-pairs oracle at SMPL-X face count:
+    # ~1.6k surviving pairs under heavy self-contact).  collision_window is
+    # accepted for config compatibility; the Morton hierarchy has no
+    # window assumption and ignores it.
     collision_window: int = 640
     max_coll_pairs: int = 4096
+    # Rebuild the collision candidate-pair list every N optimizer
+    # iterations (1 = every iteration; the pair list is AABB-rechecked at
+    # every evaluation either way).  The reference rebuilds its BVH every
+    # closure evaluation; see fitting/lbfgs.py aux_every for the tradeoff.
+    coll_broad_every: int = 1
     point2plane: bool = False
     ign_part_pairs: List[str] = field(default_factory=list)
+
+    # --- runtime
+    # Force a JAX platform ("cpu"/"tpu") before backend init; None keeps
+    # the environment default.  Must be applied before any jax op runs —
+    # app.run() does this first thing (the sandbox's sitecustomize makes
+    # the JAX_PLATFORMS env var insufficient).
+    platform: Optional[str] = None
 
     # --- camera
     focal_length: Optional[float] = None  # None => sqrt(W^2 + H^2)
@@ -108,6 +122,11 @@ class Config:
     ftol: float = 1e-9
     gtol: float = 1e-9
     maxiters: int = 30
+    # Flat per-stage L-BFGS iteration budget; None derives maxiters * 5
+    # (the reference runs up to maxiters outer x maxiters inner with
+    # ftol/gtol early exits — a single flat cap fits the one-while-loop
+    # batched optimizer; calibration in docs/ARCHITECTURE.md).
+    lbfgs_iters_per_stage: Optional[int] = None
     history_size: int = 16
     max_line_search: int = 25
 

@@ -213,3 +213,22 @@ class TestAuxFn:
             aux_fn=lambda z: jax.lax.stop_gradient(z) * 0.5).x))
         out = run(jnp.ones((4, 2)) * 4.0)
         assert float(jnp.max(jnp.abs(out))) < 0.5  # frozen aux stops at 1.6
+
+    def test_aux_every_confirm_on_refresh(self):
+        # Under coarse cadence a lane converges INSIDE a period to the
+        # stationary point of the frozen aux (0.4 * x for this ridge
+        # quadratic); the next refresh must detect the now-large gradient
+        # and REOPEN the lane rather than finalizing.  With that
+        # confirm-on-refresh rule every cadence reaches the true fixed
+        # point x = 0 and seals there.
+        def fun(x, aux):
+            return jnp.sum((x - aux) ** 2) + 0.25 * jnp.sum(x ** 2)
+
+        x0 = jnp.ones(3, jnp.float32) * 8.0
+        af = lambda x: jax.lax.stop_gradient(x) / 2.0
+        for k in (1, 4, 100):
+            res = minimize(fun, x0,
+                           cfg=LBFGSConfig(max_iters=60, aux_every=k),
+                           aux_fn=af)
+            assert float(jnp.max(jnp.abs(res.x))) < 1.0, (k, np.asarray(res.x))
+            assert bool(res.converged), k
