@@ -164,9 +164,16 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
     vposer = None
     decode_body = lambda b: b
     if cfg.use_vposer:
-        from smplifyx_tpu.models.vposer import load_vposer
+        if str(cfg.vposer_ckpt).lower() in ("", "synthetic"):
+            # Licensed-artifact escape hatch, like synthetic_model: random
+            # decoder weights exercise the full latent-optimization path.
+            from smplifyx_tpu.models.vposer import VPoser, random_params
 
-        vposer = load_vposer(cfg.vposer_ckpt)
+            vposer = VPoser(random_params(0))
+        else:
+            from smplifyx_tpu.models.vposer import load_vposer
+
+            vposer = load_vposer(cfg.vposer_ckpt)
         decode_body = vposer.decode
 
     segm = parents = None

@@ -383,20 +383,29 @@ def minimize(
     if mask is None:
         mask = jnp.ones_like(x0)
 
+    def apply_mask(g):
+        # where, NOT g * mask: a frozen coordinate's gradient is zero BY
+        # DEFINITION, but the objective's gradient there may be NaN/Inf
+        # (e.g. a normalize() at a degenerate frozen input) and NaN * 0 is
+        # NaN — which would poison the search direction and move frozen
+        # coordinates to NaN (this corrupted the classic preset's body
+        # latent through the camera stage).
+        return jnp.where(mask > 0, g, 0.0)
+
     if aux_fn is None:
         vg = jax.value_and_grad(fun)
 
         def masked_vg_aux(x, aux):
             del aux
             f, g = vg(x)
-            return f, g * mask
+            return f, apply_mask(g)
 
     else:
         vg = jax.value_and_grad(fun)  # d/dx only; aux is positional data
 
         def masked_vg_aux(x, aux):
             f, g = vg(x, aux)
-            return f, g * mask
+            return f, apply_mask(g)
 
     def make_eval(aux):
         return lambda x: masked_vg_aux(x, aux)
@@ -451,8 +460,14 @@ def minimize(
             eval_fn, s.x, t0, d, s.f, s.g, gtd, cfg
         )
 
-        x_new = s.x + t * d
-        s_vec = t * d
+        # t == 0 (failed line search) must reproduce s.x EXACTLY: with a
+        # non-finite direction (NaN gradient entries reaching d), the
+        # algebraic form s.x + 0 * d is NaN — and f_new from the search's
+        # best-point fallback is s.f (finite), so the non-finite f guard
+        # below would NOT catch the poisoned iterate.
+        step = jnp.where(t != 0.0, t * d, 0.0)
+        x_new = s.x + step
+        s_vec = step
         y_vec = g_new - s.g
         ys = jnp.vdot(y_vec, s_vec)
         push = ys > 1e-10

@@ -42,10 +42,16 @@ def rot6d_to_rotmat(x: jax.Array) -> jax.Array:
     the reference's ContinousRotReprDecoder)."""
     x = x.reshape(*x.shape[:-1], 3, 2)
     a1, a2 = x[..., 0], x[..., 1]
-    b1 = a1 / jnp.linalg.norm(a1, axis=-1, keepdims=True).clip(1e-8)
+    # Smooth eps-in-sqrt norms, NOT norm().clip(): clip saves the VALUE at
+    # a degenerate input but the gradient of ||a|| at a = 0 is 0/0 = NaN,
+    # which poisoned whole fits through the optimizer's free coordinates.
+    def _safe_normalize(v):
+        return v * jax.lax.rsqrt(
+            jnp.sum(v * v, axis=-1, keepdims=True) + 1e-12)
+
+    b1 = _safe_normalize(a1)
     a2_proj = jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
-    b2 = a2 - a2_proj
-    b2 = b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True).clip(1e-8)
+    b2 = _safe_normalize(a2 - a2_proj)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-1)
 

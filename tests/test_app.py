@@ -86,6 +86,32 @@ class TestDemoEndToEnd:
         assert d["body_pose"].shape == (1, 63)  # decoded from the latent
 
 
+    def test_classic_preset_guess_init_path(self, tmp_path, monkeypatch):
+        """fit_smplx_smplifyx.yaml end-to-end: the NO-regression path
+        (guess_init camera depth, 5 vposer stages).  Regression coverage
+        for the masked-NaN-gradient bug: the camera stage freezes the body
+        latent, whose gradient through a random-weight VPoser decode is
+        NaN at z=0 — multiplicative masking leaked it into the frozen
+        coordinates and every body stage went NaN."""
+        from smplifyx_tpu.models import vposer as vposer_mod
+        monkeypatch.setattr(
+            vposer_mod, "load_vposer",
+            lambda path: vposer_mod.VPoser(vposer_mod.random_params(0)),
+        )
+        cfg = load_config(
+            "cfg/fit_smplx_smplifyx.yaml",
+            data_folder=REF_DEMO,
+            output_folder=str(tmp_path / "out"),
+            use_gender_classifier=False,
+            interpenetration=False,
+            maxiters=2,
+            interactive=False,
+        )
+        model = synthetic_model(num_verts=96, seed=1)
+        result = run(cfg, model=model)
+        assert np.isfinite(result.losses).all(), result.losses
+
+
 class TestGenderGroupedRun:
     def test_mixed_genders_fit_in_groups(self, tmp_path):
         """Frames with different gender annotations fit as separate batches."""

@@ -232,3 +232,23 @@ class TestAuxFn:
                            aux_fn=af)
             assert float(jnp.max(jnp.abs(res.x))) < 1.0, (k, np.asarray(res.x))
             assert bool(res.converged), k
+
+
+class TestMaskedNaNGradient:
+    def test_nan_gradient_in_frozen_coords_cannot_leak(self):
+        """Regression: the objective's gradient w.r.t. FROZEN coordinates
+        may be NaN (norm() at a degenerate frozen point); masking must
+        zero it with `where`, not multiplication (NaN * 0 = NaN poisoned
+        the search direction and moved frozen coordinates to NaN — this
+        corrupted the classic preset's body latent through the camera
+        stage, which freezes everything but camera params)."""
+        def fun(x):
+            return (x[0] - 3.0) ** 2 + jnp.linalg.norm(x[1:])
+
+        x0 = jnp.zeros(3, jnp.float32)   # norm grad at 0 is 0/0 = NaN
+        res = minimize(fun, x0, mask=jnp.asarray([1.0, 0.0, 0.0]),
+                       cfg=LBFGSConfig(max_iters=50))
+        x = np.asarray(res.x)
+        assert np.isfinite(x).all(), x
+        np.testing.assert_allclose(x[0], 3.0, atol=1e-4)
+        np.testing.assert_array_equal(x[1:], 0.0)
