@@ -23,8 +23,15 @@ DMA):
     and minor-dim-aligned — no in-kernel relayouts;
   * J pads to 64 lanes, V to a 512 multiple.
 
-MEASURED (v5e, B=128, V=10475, f32): see `lbs_apply` docstring / bench in
-tests; the reference XLA einsum path is the semantic baseline and the
+MEASURED (v5e, V=10475, J=55, f32, 20-rep steady state, including the
+XLA-side relayouts on the Pallas path):
+
+    B=64:  XLA einsum 3.24 ms  ->  Pallas 2.19 ms   (1.48x)
+    B=128: XLA einsum 3.27 ms  ->  Pallas 2.37 ms   (1.38x)
+
+bit-exact against the reference path (max abs err 0.0).  Round 1's
+(B, V/256) grid measured 8.5x SLOWER than XLA — the regrid above is what
+flipped it.  The XLA einsum remains the semantic baseline and the
 CPU/interpret fallback.
 
 Differentiable via jax.custom_vjp: the backward is expressed with plain XLA
