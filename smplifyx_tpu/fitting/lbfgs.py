@@ -553,7 +553,19 @@ def minimize(
             eval_fn = make_eval(aux)
             f_cur, g_cur = eval_fn(s.x)
             g_small = jnp.max(jnp.abs(g_cur)) <= cfg.gtol
-            confirm = s.done & (g_small | ~jnp.isfinite(f_cur))
+            # Seal on f-stationarity too: a lane that converged via ftol /
+            # tol_change inside the period essentially never reaches gtol
+            # (1e-9) in f32, so a gtol-only confirm reopens it every refresh
+            # and the stationary-point line search burns up to max_ls evals
+            # per period — collision stages would always run to max_iters.
+            # If the FRESH aux leaves the objective within ftol of the
+            # converged stale-aux value, the refresh changed nothing the
+            # optimizer can act on.
+            f_rel = jnp.abs(f_cur - s.f) / jnp.maximum(
+                jnp.maximum(jnp.abs(f_cur), jnp.abs(s.f)), 1.0
+            )
+            f_stationary = f_rel <= cfg.ftol
+            confirm = s.done & (g_small | f_stationary | ~jnp.isfinite(f_cur))
             s = s._replace(f=f_cur, g=g_cur, n_evals=s.n_evals + 1,
                            sealed=confirm, done=confirm,
                            converged=s.converged & confirm)

@@ -233,6 +233,29 @@ class TestAuxFn:
             assert float(jnp.max(jnp.abs(res.x))) < 1.0, (k, np.asarray(res.x))
             assert bool(res.converged), k
 
+    def test_ftol_converged_lane_seals_on_refresh(self):
+        """Regression (advisor r2): a lane that converges via ftol can
+        essentially never satisfy gtol=1e-9 in f32, so a gtol-only
+        confirm-on-refresh reopened it every period and the lane burned
+        line-search evaluations at its own stationary point until
+        max_iters.  A refresh that leaves f within ftol of the converged
+        value must SEAL the lane."""
+        def fun(x, aux):
+            del aux
+            return rosenbrock(x)
+
+        x0 = jnp.asarray([-1.2, 1.0, 0.7], jnp.float32)
+        res = minimize(
+            fun, x0,
+            cfg=LBFGSConfig(max_iters=300, aux_every=3),
+            aux_fn=lambda x: jnp.zeros(()),
+        )
+        # Rosenbrock-3 converges via ftol in ~30 iterations; without the
+        # f-stationarity seal this runs to the 300-iteration cap.
+        assert int(res.n_iters) < 120, int(res.n_iters)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-3)
+
 
 class TestMaskedNaNGradient:
     def test_nan_gradient_in_frozen_coords_cannot_leak(self):
