@@ -75,8 +75,16 @@ def _cone_penalty_pairs(
     tb: jax.Array,            # [P, 3, 3] triangle B corners
     sigma: float,
     penalize_outside: bool,
+    point2plane: bool = False,
 ) -> jax.Array:
-    """Symmetric cone-field penalty per pair -> [P]."""
+    """Symmetric cone-field penalty per pair -> [P].
+
+    point2plane selects the reference's point-to-plane distance variant
+    (torch-mesh-isect DistanceFieldPenetrationLoss(point2plane=True), plumbed
+    at fit_single_frame.py:93,314): the penalty is the raw signed plane
+    distance of the penetrating vertex, hard-gated to the triangle's
+    circumcircle, instead of the smooth conical falloff.  Same zero set,
+    different magnitude/gradient profile."""
 
     def one_way(src, pts):
         c = src.mean(axis=1)                          # [P, 3]
@@ -94,10 +102,21 @@ def _cone_penalty_pairs(
         # eps-safe norm: sqrt has a NaN gradient at exactly 0 (points on
         # the cone axis, e.g. pairs of faces sharing a vertex).
         rad = jnp.sqrt(jnp.sum(rad_vec * rad_vec, axis=-1) + 1e-12)
-        radial = jax.nn.relu(1.0 - rad / jnp.maximum(r[:, None], 1e-9))
-        phi = jax.nn.relu(-ax / sigma) * radial
-        if penalize_outside:
-            phi = phi + jax.nn.relu(1.0 - ax / sigma) * radial
+        if point2plane:
+            # Hard radial gate (inside the circumcircle), linear plane
+            # distance: stop_gradient on the gate so only the axial
+            # distance carries gradients, as in the reference variant.
+            inside = jax.lax.stop_gradient(
+                (rad <= jnp.maximum(r[:, None], 1e-9)).astype(ax.dtype)
+            )
+            phi = jax.nn.relu(-ax / sigma) * inside
+            if penalize_outside:
+                phi = phi + jax.nn.relu(1.0 - ax / sigma) * inside
+        else:
+            radial = jax.nn.relu(1.0 - rad / jnp.maximum(r[:, None], 1e-9))
+            phi = jax.nn.relu(-ax / sigma) * radial
+            if penalize_outside:
+                phi = phi + jax.nn.relu(1.0 - ax / sigma) * radial
         return jnp.sum(phi * phi, axis=-1)            # [P]
 
     return one_way(ta, tb) + one_way(tb, ta)
@@ -146,10 +165,16 @@ def make_collision_fn(
     ign_part_pairs: Sequence[str] = (),     # ["9,16", ...] reference format
     window: int = 0,                        # deprecated, ignored (see below)
     max_pairs: int = 4096,
-    max_block_pairs: int = 24576,
+    # Oracle-measured survivors on the contact-heavy proxy mesh: ~4.0k
+    # superblock, ~12.4k block, ~1.6k hit-carrying / final pairs; every
+    # default budget keeps >= 2x headroom (asserted by
+    # test_collision_oracle's budget-headroom audit).
+    max_block_pairs: int = 28672,
     max_sup_pairs: int = 8192,
+    max_hit_pairs: int = 4096,
     sigma: float = 1e-4,
     penalize_outside: bool = True,
+    point2plane: bool = False,
 ):
     """Build vertices [V,3] -> scalar penetration penalty.
 
@@ -175,9 +200,10 @@ def make_collision_fn(
     compatibility and ignored.  Budgets measured on a ~21k-face posed,
     self-touching human (tests/test_collision_oracle.py): ~4.0k superblock
     pairs, ~12.4k block pairs, ~1.6k final pairs — defaults carry ~2x
-    margins.  All compactions use a cumsum-based stream compaction; every
-    mask is evaluated per-coordinate so vmapped temps stay [*, P, 8, 8]
-    bools, never [*, P, 8, 8, 3] floats.
+    margins.  All compactions use the top_k-based `_compact` (see its
+    docstring for why top_k and not cumsum/nonzero/scatter); every mask is
+    evaluated per-coordinate so vmapped temps stay [*, P, 8, 8] bools,
+    never [*, P, 8, 8, 3] floats.
 
     The returned callable exposes:
       .candidate_pairs(vertices) -> (idx_a [P], idx_b [P], valid [P])
@@ -204,7 +230,8 @@ def make_collision_fn(
     nbp = ns * _SUP
     Ps = min(max_sup_pairs, ns * ns)
     Pb = min(max_block_pairs, Ps * _SUP * _SUP)
-    P = min(max_pairs, Pb * _BLK * _BLK)
+    Ph = min(max_hit_pairs, Pb)
+    P = min(max_pairs, Ph * _BLK * _BLK)
 
     pad = Fp - F
     spad = nbp - nb
@@ -221,9 +248,15 @@ def make_collision_fn(
     else:
         segm_j = parents_j = None
 
-    def candidate_pairs(vertices: jax.Array):
+    def candidate_pairs(vertices: jax.Array, return_counts: bool = False):
         """Broad phase: -> (idx_a [P], idx_b [P], valid [P] bool).  No
-        gradients flow through any output."""
+        gradients flow through any output.
+
+        return_counts additionally returns {level: (surviving, budget)} so
+        callers can check headroom: _compact keeps the first `budget` True
+        entries in Morton-rank order, so an over-budget pose silently drops
+        contact pairs — tests/benches should assert surviving < budget on
+        their own meshes (see `saturation`)."""
         tris = jax.lax.stop_gradient(vertices[faces])   # [F, 3, 3]
         aabb_min = jnp.min(tris, axis=1)                # [F, 3]
         aabb_max = jnp.max(tris, axis=1)
@@ -361,9 +394,25 @@ def make_collision_fn(
                             sb[:, None, :], pb[:, None, :])
 
         # ---- final compaction to the narrow-phase budget ----------------
-        posT, validT = _compact(mt.reshape(-1), P)
-        ti = posT // (_BLK * _BLK)
+        # Two-stage: the flat [Pb * 64] mask is the single most expensive
+        # top_k in the broad phase (1.57M elements at SMPL-X scale), but
+        # block pairs CONTAINING a surviving triangle pair are rare (every
+        # True needs one, and the oracle measures ~1.6k final survivors).
+        # First compact the block pairs with >= 1 hit to `Ph`, then run the
+        # big compaction over only their [Ph, 64] masks — a ~6x smaller
+        # top_k, lossless while hit-carrying block pairs <= Ph (asserted
+        # with margin by the budget-headroom test).
+        mt_rows = mt.reshape(Pb, _BLK * _BLK)
+        hit = jnp.any(mt_rows, axis=1)                  # [Pb]
+        posH, validH = _compact(hit, Ph)
+        posH_f = posH.astype(fp32)
+        # f32-operand row gather (vector path, values are 0/1)
+        mt_h = mt_rows.astype(fp32)[posH]               # [Ph, 64]
+        mt_h = mt_h * validH[:, None].astype(fp32)
+        posT, validT = _compact(mt_h.reshape(-1) > 0.5, P)
+        th = posT // (_BLK * _BLK)                      # index into Ph
         wt = posT % (_BLK * _BLK)
+        ti = posH_f[th].astype(jnp.int32)               # original pair index
         ra_f = bi_f[ti] * _BLK + (wt // _BLK).astype(fp32)
         rb_f = bj_f[ti] * _BLK + (wt % _BLK).astype(fp32)
         # map sorted (padded) ranks back to original face ids
@@ -372,7 +421,23 @@ def make_collision_fn(
             jnp.minimum(ra_f, F - 1).astype(jnp.int32)].astype(jnp.int32)
         idx_b = order_f[
             jnp.minimum(rb_f, F - 1).astype(jnp.int32)].astype(jnp.int32)
+        if return_counts:
+            counts = {
+                "superblock": (jnp.sum(ms), Ps),
+                "block": (jnp.sum(mb), Pb),
+                "hit": (jnp.sum(hit), Ph),
+                "final": (jnp.sum(mt), P),
+            }
+            return (idx_a, idx_b, validT), counts
         return idx_a, idx_b, validT
+
+    def saturation(vertices: jax.Array):
+        """Surviving-pair counts vs budgets at each hierarchy level:
+        {level: (count, budget)}.  Any count == budget means _compact is
+        silently dropping pairs for this pose — raise the corresponding
+        max_*_pairs.  Debug/audit path (one extra broad-phase run)."""
+        _, counts = candidate_pairs(vertices, return_counts=True)
+        return counts
 
     def build(vertices: jax.Array):
         """Broad phase as reusable aux: the compacted pair list (ints)."""
@@ -397,7 +462,8 @@ def make_collision_fn(
         for k in range(3):
             live &= (tb_s[..., k].min(-1) <= ta_s[..., k].max(-1)) \
                 & (tb_s[..., k].max(-1) >= ta_s[..., k].min(-1))
-        pen = _cone_penalty_pairs(ta, tb, sigma, penalize_outside)
+        pen = _cone_penalty_pairs(ta, tb, sigma, penalize_outside,
+                                  point2plane=point2plane)
         return jnp.sum(pen * live.astype(pen.dtype))
 
     def collision_penalty(vertices: jax.Array) -> jax.Array:
@@ -406,4 +472,5 @@ def make_collision_fn(
     collision_penalty.candidate_pairs = candidate_pairs
     collision_penalty.build = build
     collision_penalty.apply = apply
+    collision_penalty.saturation = saturation
     return collision_penalty

@@ -138,3 +138,57 @@ class TestBroadPhase:
         vals = jax.jit(jax.vmap(fn))(batch)
         assert vals.shape == (2,)
         assert np.isfinite(np.asarray(vals)).all()
+
+
+class TestPoint2Plane:
+    def test_variant_runs_and_differs(self):
+        """point2plane swaps the smooth conical falloff for a hard
+        circumcircle gate + linear plane distance (reference
+        DistanceFieldPenetrationLoss(point2plane=True), plumbed at
+        fit_single_frame.py:93,314).  Same zero set, different magnitude."""
+        verts, faces = two_triangles(0.15)
+        cone = make_collision_fn(faces, max_pairs=8)
+        p2p = make_collision_fn(faces, max_pairs=8, point2plane=True)
+        c = float(cone(verts))
+        p = float(p2p(verts))
+        assert c > 0 and p > 0
+        assert abs(c - p) > 1e-8  # genuinely different fields
+
+    def test_zero_when_separated(self):
+        verts, faces = two_triangles(-0.5)
+        p2p = make_collision_fn(faces, max_pairs=8, point2plane=True)
+        assert float(p2p(verts)) == 0.0
+
+    def test_gradient_flows(self):
+        verts, faces = two_triangles(0.15)
+        p2p = make_collision_fn(faces, max_pairs=8, point2plane=True)
+        g = jax.grad(lambda v: p2p(v))(verts)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.max(jnp.abs(g))) > 0
+
+
+class TestSaturationReporting:
+    def test_counts_under_budget_on_small_mesh(self):
+        verts, faces = two_triangles(0.15)
+        fn = make_collision_fn(faces, max_pairs=8)
+        counts = fn.saturation(verts)
+        for level, (count, budget) in counts.items():
+            assert int(count) <= budget, level
+        # the intersecting pair must be visible at the final level
+        assert int(counts["final"][0]) >= 1
+
+    def test_saturation_detects_tight_budget(self):
+        """With a deliberately starved final budget the count reaches the
+        budget — the silent-drop condition the helper exists to surface."""
+        rng = np.random.default_rng(3)
+        # a cluster of mutually-overlapping triangles
+        base = rng.uniform(0, 0.3, size=(12, 3, 3)).astype(np.float32)
+        verts = jnp.asarray(base.reshape(-1, 3))
+        faces = jnp.asarray(np.arange(36, dtype=np.int32).reshape(12, 3))
+        fn = make_collision_fn(faces, max_pairs=4)
+        counts = fn.saturation(verts)
+        count, budget = counts["final"]
+        assert budget == 4
+        # counts are PRE-compaction survivors, so saturation shows as
+        # count >= budget (headroom requires count < budget)
+        assert int(count) >= budget

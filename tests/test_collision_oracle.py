@@ -1,12 +1,12 @@
 """Exact-oracle audit of the collision broad phase at SMPL-X scale.
 
-VERDICT round-1 item 3: the sweep broad phase (sorted-AABB window) needed an
-all-pairs oracle cross-check on realistically posed geometry and a measured
-window-sufficiency margin.  These tests build a ~21k-face posed-human proxy
-with real self-contacts (smplifyx_tpu/utils/proxy_mesh.py), compute every
-AABB-overlapping pair surviving part filtering with O(F^2) numpy, and assert
-the production broad phase finds EXACTLY that set at the default
-window/max_pairs — plus they measure and bound the minimal lossless window.
+These tests build a ~21k-face posed-human proxy with real self-contacts
+(smplifyx_tpu/utils/proxy_mesh.py), compute every AABB-overlapping pair
+surviving part filtering with O(F^2) numpy, and assert the Morton-hierarchy
+broad phase finds EXACTLY that set at the production budgets — plus a
+budget-headroom audit at every hierarchy level (the hierarchy's failure
+mode is budget saturation, not any window assumption; the legacy sweep's
+`window` parameter is accepted and ignored for config compatibility).
 """
 
 import numpy as np
@@ -113,20 +113,21 @@ class TestOracleFullScale:
         # Budget margin: stay well below max_pairs.
         assert len(oracle) < 4096 * 0.75, len(oracle)
 
-    def test_window_sufficiency_margin(self, mesh):
-        """Measure the minimal lossless window along the chosen sweep axis
-        and assert the default (640) keeps >=20% margin."""
+    def test_budget_headroom_at_every_level(self, mesh):
+        """Measure surviving pair counts at each Morton-hierarchy level on
+        the full-scale contact-heavy mesh and assert >= 2x headroom against
+        the production budgets (the hierarchy's actual failure mode is
+        budget saturation: _compact silently drops pairs past the budget).
+        Replaces the deprecated sweep-window margin audit — the Morton
+        broad phase has no window assumption."""
         verts, faces, segm, parents = mesh
-        tris = verts[faces]
-        amin, amax = tris.min(1), tris.max(1)
-        ext = amax.max(0) - amin.min(0)
-        axis = int(np.argmax(ext))  # the production axis choice
-        oi, oj = oracle_overlap_pairs(verts, faces, segm, parents)
-
-        order = np.argsort(amin[:, axis], kind="stable")
-        rank = np.empty(len(faces), np.int64)
-        rank[order] = np.arange(len(faces))
-        min_window = int(np.abs(rank[oi] - rank[oj]).max())
-        assert min_window <= 640 * 0.8, (
-            f"minimal lossless window {min_window} leaves <20% margin"
-        )
+        fn = make_collision_fn(
+            jnp.asarray(faces), segm=segm, parents=parents,
+        )  # production defaults
+        counts = fn.saturation(jnp.asarray(verts))
+        for level, (count, budget) in counts.items():
+            count = int(count)
+            assert count * 2 <= budget, (
+                f"level {level!r}: {count} surviving pairs vs budget "
+                f"{budget} — less than 2x headroom"
+            )
