@@ -71,6 +71,20 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
 
     t_start = time.time()
 
+    # --- config validation of knobs that gate unsupported paths
+    if cfg.float_dtype != "float32":
+        # The reference's float64 selector is dead, buggy code
+        # (main.py:77-84 maps float32 -> float64 and is overridden at
+        # :99-105); this framework is f32-only by design (TPU MXU/bf16).
+        raise NotImplementedError(
+            f"float_dtype={cfg.float_dtype!r}: only float32 is supported"
+        )
+    if cfg.camera_type != "persp":
+        raise NotImplementedError(
+            f"camera_type={cfg.camera_type!r}: only 'persp' is supported "
+            "(matching reference create_camera, camera.py:35-40)"
+        )
+
     # --- output dirs (wipe + conf dump, reference main.py:52-75)
     out = osp.expandvars(cfg.output_folder)
     if osp.exists(out):
@@ -155,9 +169,22 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
     def _hand_gmm(prior_type):
         if _norm_prior(prior_type) != "gmm":
             return None
-        return load_gmm_pickle(
-            osp.join(cfg.prior_folder, f"gmm_{cfg.num_pca_comps:02d}.pkl")
-        )
+        path = osp.join(cfg.prior_folder, f"gmm_{cfg.num_pca_comps:02d}.pkl")
+        prior = load_gmm_pickle(path)
+        dim = prior.means.shape[-1]
+        if dim != cfg.num_pca_comps:
+            # The shipped reference priors are BODY-pose GMMs keyed by
+            # num_gaussians (gmm_08.pkl = 8 components over 69 dims); a
+            # num_pca_comps filename collision (e.g. 8) would otherwise
+            # trace a 69-dim mixture against 12-dim hand coefficients and
+            # die with an opaque shape error mid-jit.
+            raise ValueError(
+                f"hand GMM prior {path} models {dim}-dim poses but "
+                f"num_pca_comps={cfg.num_pca_comps}; no compatible public "
+                "artifact ships with the reference — use an 'l2' hand "
+                "prior or provide a hand-PCA GMM with matching dimension"
+            )
+        return prior
 
     lhand_gmm = _hand_gmm(cfg.left_hand_prior_type)
     rhand_gmm = _hand_gmm(cfg.right_hand_prior_type)
@@ -221,6 +248,7 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
             max_iters=cfg.maxiters * 2, history=8, lr=cfg.lr,
             ftol=cfg.ftol, gtol=cfg.gtol,
         ),
+        optim_type=cfg.optim_type,
         try_both_orient=True,
         side_view_thsh=cfg.side_view_thsh,
         left_shoulder_idx=ls, right_shoulder_idx=rs,
@@ -231,25 +259,52 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
     # --- fit, one batch per gender group
     all_names, all_losses, result_files, mesh_files = [], [], [], []
     total_real = 0
+    from smplifyx_tpu.fitting.prepare import pad_prepared
     from smplifyx_tpu.models.sparse import build_joints_model
 
-    for gender, group_records in sorted(gender_groups.items()):
-        group_model = jax.device_put(get_model(gender))
-        joints_model = jax.device_put(build_joints_model(group_model))
+    coll_stage_mask = None
+    if cfg.interpenetration:
+        weights = cfg.coll_loss_weights or [0.0] * cfg.num_stages
+        coll_stage_mask = tuple(float(v) > 0 for v in weights)
 
-        collision_fn = None
+    # ONE jitted pipeline shared by every gender group: the model is an
+    # argument, so groups with equal (bucketed) batch sizes reuse the same
+    # executable instead of paying a recompile per gender.  The collision
+    # tables are built from the first group's faces — the gendered SMPL-X
+    # models share mesh topology, which this relies on.
+    collision_fn = None
+    fitted = None
+
+    def make_fitted(first_model):
+        nonlocal collision_fn
         if cfg.interpenetration:
             # window/max_pairs are oracle-calibrated (test_collision_oracle);
             # the narrow-phase budget honors at least the reference's
             # max_collisions (fit_single_frame.py:300-328, default 128).
             collision_fn = make_collision_fn(
-                group_model.faces, segm=segm, parents=parents,
+                first_model.faces, segm=segm, parents=parents,
                 ign_part_pairs=cfg.ign_part_pairs,
                 window=cfg.collision_window,
                 max_pairs=max(cfg.max_coll_pairs, cfg.max_collisions),
                 sigma=cfg.df_cone_height,
                 penalize_outside=cfg.penalize_outside,
+                point2plane=cfg.point2plane,
             )
+        return jax.jit(
+            lambda model, joints_model, frames, x0: fit_batch(
+                model, settings, options, schedule, frames, x0,
+                decode_body, joint_map, gmm=gmm, edge_idxs=edge_idxs,
+                collision_fn=collision_fn, joints_model=joints_model,
+                coll_stage_mask=coll_stage_mask,
+                lhand_gmm=lhand_gmm, rhand_gmm=rhand_gmm,
+            )
+        )
+
+    for gender, group_records in sorted(gender_groups.items()):
+        group_model = jax.device_put(get_model(gender))
+        joints_model = jax.device_put(build_joints_model(group_model))
+        if fitted is None:
+            fitted = make_fitted(group_model)
 
         batch = prepare_batch(
             cfg, group_records, dataset.get_joint_weights(),
@@ -268,20 +323,13 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
             x0_np[: len(found)][found] = x_prev[found]
             batch.x0 = x0_np
 
-        coll_stage_mask = None
-        if cfg.interpenetration:
-            weights = cfg.coll_loss_weights or [0.0] * cfg.num_stages
-            coll_stage_mask = tuple(float(v) > 0 for v in weights)
+        # Bucket the batch to the next power of two (floor cfg.batch_size):
+        # mixed-gender runs with uneven group sizes then share compiled
+        # executables across buckets instead of recompiling per exact size.
+        target = max(batch.num_real, cfg.batch_size, 1)
+        bucket = 1 << (target - 1).bit_length()   # next power of two
+        batch = pad_prepared(batch, bucket)
 
-        fitted = jax.jit(
-            lambda model, joints_model, frames, x0: fit_batch(
-                model, settings, options, schedule, frames, x0,
-                decode_body, joint_map, gmm=gmm, edge_idxs=edge_idxs,
-                collision_fn=collision_fn, joints_model=joints_model,
-                coll_stage_mask=coll_stage_mask,
-                lhand_gmm=lhand_gmm, rhand_gmm=rhand_gmm,
-            )
-        )
         res = fitted(group_model, joints_model, batch.frames,
                      jnp.asarray(batch.x0))
         out_fwd, params, cam_t = recover_outputs(
@@ -296,6 +344,14 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
         seg = unpack(settings, res.x)
         decoded_pose = np.asarray(decode_body(seg["body"]))
         faces_np = np.asarray(group_model.faces)
+
+        viz_records = {}
+        if cfg.visualize:
+            # final-fit overlay renders (reference fit_single_frame.py:
+            # 509-520, 614-626 via pyrender; here the pure-numpy
+            # rasterizer in viz/render.py)
+            os.makedirs(osp.join(out, "images"), exist_ok=True)
+            viz_records = {rec.fn: rec for rec in group_records}
 
         for i, name in enumerate(batch.names):
             frame_result_dir = osp.join(result_dir, name)
@@ -332,6 +388,33 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
             if cfg.save_vertices:
                 write_ply(
                     osp.join(frame_result_dir, "vertices.ply"), vertices[i]
+                )
+            if cfg.visualize:
+                from smplifyx_tpu.data.keypoints import load_image
+                from smplifyx_tpu.ops.camera import CameraParams
+                from smplifyx_tpu.viz.render import render_mesh_overlay
+
+                rec = viz_records.get(name.split("/")[0])
+                img = None
+                if rec is not None:
+                    img = rec.img if rec.img is not None else load_image(
+                        rec.img_path
+                    )
+                camera = CameraParams(
+                    rotation=np.eye(3, dtype=np.float32),
+                    translation=cam_t_np[i],
+                    focal=np.full(2, batch.focals[i], np.float32),
+                    center=np.asarray(batch.frames.center[i]),
+                )
+                overlay = render_mesh_overlay(
+                    img, vertices[i], faces_np, camera, img_size=(H, W)
+                )
+                img_dir = osp.join(out, "images", name)
+                os.makedirs(img_dir, exist_ok=True)
+                from PIL import Image
+
+                Image.fromarray(overlay).save(
+                    osp.join(img_dir, "output.png")
                 )
         all_names.extend(batch.names)
         all_losses.append(losses)

@@ -59,10 +59,23 @@ def load_homogenus(ckpt_dir: str) -> GenderClassifier:
         ) from e
 
     inferer = Homogenus_infer(ckpt_dir)
+    return homogenus_classifier(inferer)
+
+
+def homogenus_classifier(inferer) -> GenderClassifier:
+    """Wrap a Homogenus-API inferer as a per-record classifier.
+
+    The reference calls `predict_gender_one_img(img_dir=img_path,
+    keypoints_dir=keypoint_path)` with the image path and the *keypoint JSON*
+    path (main.py:258-271); FrameRecord carries both.  Split out from
+    load_homogenus so tests can exercise the hook with a fake inferer
+    without the TensorFlow stack.
+    """
 
     def classify(record: FrameRecord) -> str:
+        keyp = record.keyp_path or record.img_path
         return inferer.predict_gender_one_img(
-            img_dir=record.img_path, keypoints_dir=record.img_path
+            img_dir=record.img_path, keypoints_dir=keyp
         )
 
     return classify

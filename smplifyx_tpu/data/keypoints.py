@@ -123,6 +123,7 @@ class FrameRecord:
     img: Optional[np.ndarray] = None
     gender_gt: list = field(default_factory=list)
     gender_pd: list = field(default_factory=list)
+    keyp_path: Optional[str] = None  # source JSON (Homogenus wants it)
 
 
 class KeypointFolderDataset:
@@ -227,6 +228,7 @@ class KeypointFolderDataset:
             fn=img_fn, img_path=img_path, keypoints=kp.keypoints,
             img_size=tuple(size), img=img,
             gender_gt=kp.gender_gt, gender_pd=kp.gender_pd,
+            keyp_path=matches[0],
         )
 
 

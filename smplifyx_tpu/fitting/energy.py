@@ -96,18 +96,22 @@ def stage_joint_weights(
     settings: FitSettings, frame: FrameData, w: StageWeights
 ) -> jax.Array:
     """Assemble the per-keypoint weight vector for a stage: body slots keep
-    the base weights, hand/face slots take the stage's hand/face weights
-    (reference fit_single_frame.py:569-574)."""
+    the base weights, hand/face slots are ASSIGNED the stage's hand/face
+    weights wholesale — matching the reference exactly
+    (fit_single_frame.py:569-574 assigns into the joint-weight tensor, so a
+    joints_to_ign entry naming a hand/face slot is overwritten there too;
+    only low-confidence BODY slots stay zeroed, and those live in the body
+    range this assignment never touches)."""
     K = frame.joint_weights.shape[-1]
     nb = settings.num_body_kp
     idx = jnp.arange(K)
     wvec = frame.joint_weights
     if settings.use_hands:
         in_hand = (idx >= nb) & (idx < nb + 42)
-        wvec = jnp.where(in_hand, w.hand_weight * frame.joint_weights, wvec)
+        wvec = jnp.where(in_hand, w.hand_weight, wvec)
     if settings.use_face:
         in_face = idx >= nb + 42
-        wvec = jnp.where(in_face, w.face_weight * frame.joint_weights, wvec)
+        wvec = jnp.where(in_face, w.face_weight, wvec)
     return wvec
 
 

@@ -50,6 +50,12 @@ class FitOptions:
     lbfgs: LBFGSConfig = struct.field(default_factory=LBFGSConfig)
     camera_lbfgs: LBFGSConfig = struct.field(default_factory=LBFGSConfig)
     try_both_orient: bool = struct.field(pytree_node=False, default=False)
+    # Optimizer driving every stage (reference optim_factory.py:27-65):
+    # 'lbfgs'/'lbfgsls' -> native strong-Wolfe L-BFGS; 'adam'/'sgd'/'rmsprop'
+    # -> masked fixed-step first-order loop (fitting/optimizers.py) with the
+    # same ftol/gtol/NaN termination.  First-order runs use the exact
+    # per-evaluation collision broad phase (no line search to hoist out of).
+    optim_type: str = struct.field(pytree_node=False, default="lbfgsls")
     side_view_thsh: float = struct.field(pytree_node=False, default=25.0)
     left_shoulder_idx: int = struct.field(pytree_node=False, default=2)
     right_shoulder_idx: int = struct.field(pytree_node=False, default=5)
@@ -105,6 +111,24 @@ def fit_batch(
     cam_mask = camera_stage_mask(settings)
     body_mask = body_stage_mask(settings)
 
+    use_lbfgs = options.optim_type.lower() in ("lbfgs", "lbfgsls")
+    if use_lbfgs:
+        def run_min(fun, x, mask, cfg, aux_fn=None):
+            return minimize(fun, x, mask=mask, cfg=cfg, aux_fn=aux_fn)
+    else:
+        from smplifyx_tpu.fitting.optimizers import (
+            make_optax_optimizer, minimize_first_order,
+        )
+
+        def run_min(fun, x, mask, cfg, aux_fn=None):
+            # aux_fn ignored: first-order steps have no line search, so the
+            # broad phase is recomputed per evaluation (reference semantics).
+            opt = make_optax_optimizer(options.optim_type, cfg.lr)
+            return minimize_first_order(
+                fun, x, opt, mask=mask, max_iters=cfg.max_iters,
+                ftol=cfg.ftol, gtol=cfg.gtol,
+            )
+
     # ---- camera translation init (guess_init path) --------------------
     if not options.use_camera_prior:
         assert edge_idxs is not None
@@ -125,10 +149,14 @@ def fit_batch(
             xx, settings, model, frame, decode_body, joint_map,
             joints_model=joints_model,
         )
-        return minimize(fun, x, mask=cam_mask, cfg=options.camera_lbfgs)
+        return run_min(fun, x, cam_mask, options.camera_lbfgs)
 
     cam_res = jax.vmap(cam_fit_one)(x0, frames)
     x_cam = cam_res.x
+    # NOTE: recorded BEFORE the dual-orientation doubling, so for a frame
+    # whose 180-degree flip wins the body fit, FitResult.camera_loss still
+    # describes the (shared) unflipped camera stage — the flip reuses the
+    # fitted camera translation (reference fit_single_frame.py:527-538).
     camera_loss = cam_res.f
 
     # ---- optional dual orientation: double the batch -------------------
@@ -190,10 +218,10 @@ def fit_batch(
 
                 aux_fn = (
                     (lambda z: collision_fn.build(vertices_of(z)))
-                    if hoist_broad else None
+                    if hoist_broad and use_lbfgs else None
                 )
-                return minimize(fun, xx, mask=body_mask, cfg=options.lbfgs,
-                                aux_fn=aux_fn)
+                return run_min(fun, xx, body_mask, options.lbfgs,
+                               aux_fn=aux_fn)
 
             res = jax.vmap(fit_one)(x, frames2)
             return res.x, res.f

@@ -208,3 +208,30 @@ def prepare_batch(
         frames=frames, x0=np.asarray(x0), names=names, num_real=num_real,
         img_sizes=img_sizes, focals=focals,
     )
+
+
+def pad_prepared(batch: PreparedBatch, B: int) -> PreparedBatch:
+    """Pad an assembled batch to B rows by repeating the last row.
+
+    Used for batch-size bucketing (pad gender groups to a power of two so
+    the jitted pipeline compiles once per bucket, not once per exact group
+    size).  Only frames/x0 are padded; names/num_real keep describing the
+    real rows, so result writing is unaffected."""
+    import jax.tree_util as jtu
+
+    cur = batch.x0.shape[0]
+    if B <= cur:
+        assert B == cur or B >= batch.num_real, (B, batch.num_real)
+        return batch
+    reps = B - cur
+
+    def pad(a):
+        a = np.asarray(a)
+        return np.concatenate([a, np.repeat(a[-1:], reps, axis=0)], axis=0)
+
+    return PreparedBatch(
+        frames=jtu.tree_map(lambda a: jnp.asarray(pad(a)), batch.frames),
+        x0=pad(batch.x0),
+        names=batch.names, num_real=batch.num_real,
+        img_sizes=batch.img_sizes, focals=batch.focals,
+    )

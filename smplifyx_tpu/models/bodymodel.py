@@ -171,6 +171,10 @@ class _ForeignStub:
     chumpy.Ch, 'data/indices/indptr/_shape' for scipy CSC) can be
     recovered without those packages installed."""
 
+    # (module, name) of the original class, recorded by the unpickler so
+    # consumers can branch on what the stub stands in for.
+    _origin: tuple = ("", "")
+
     def __init__(self, *args, **kwargs):
         self._args = args
 
@@ -188,13 +192,29 @@ def _to_dense(v) -> np.ndarray:
     if x is not None:
         return np.asarray(x)
     d = getattr(v, "__dict__", {})
-    if {"data", "indices", "indptr"} <= d.keys():   # pickled CSC state
+    if {"data", "indices", "indptr"} <= d.keys():   # pickled sparse state
+        # CSR and CSC pickle with IDENTICAL state keys; reconstructing a
+        # CSR matrix column-wise would silently transpose it (corrupting
+        # J_regressor -> wrong joints, no error).  Branch on the recorded
+        # class name; unknown compressed formats fail loudly.
+        origin = getattr(v, "_origin", ("", ""))[1].lower()
+        is_csr = "csr" in origin
+        if origin and not is_csr and "csc" not in origin:
+            raise ValueError(
+                f"unsupported pickled sparse matrix class {origin!r} "
+                "(expected csc_matrix or csr_matrix)"
+            )
         data, indices, indptr = d["data"], d["indices"], d["indptr"]
         shape = d.get("_shape") or d.get("shape")
         out = np.zeros(shape, np.float32)
-        for col in range(shape[1]):
-            rows = indices[indptr[col]:indptr[col + 1]]
-            out[rows, col] = data[indptr[col]:indptr[col + 1]]
+        if is_csr:
+            for row in range(shape[0]):
+                cols = indices[indptr[row]:indptr[row + 1]]
+                out[row, cols] = data[indptr[row]:indptr[row + 1]]
+        else:
+            for col in range(shape[1]):
+                rows = indices[indptr[col]:indptr[col + 1]]
+                out[rows, col] = data[indptr[col]:indptr[col + 1]]
         return out
     return np.asarray(v)
 
@@ -209,7 +229,12 @@ def _read_artifact(path: str) -> dict:
                 try:
                     return super().find_class(module, name)
                 except (ImportError, AttributeError):
-                    return _ForeignStub
+                    # Per-origin stub subclass so _to_dense can tell CSC
+                    # from CSR (identical pickled state keys).
+                    return type(
+                        f"_ForeignStub_{name}", (_ForeignStub,),
+                        {"_origin": (module, name)},
+                    )
 
             def persistent_load(self, pid):  # pragma: no cover
                 return None

@@ -131,7 +131,11 @@ class Config:
     max_line_search: int = 25
 
     # --- runtime
-    batch_size: int = 1   # frames fitted simultaneously (no upper limit here)
+    # Minimum padded batch per gender group.  Groups are always fitted
+    # whole (every frame simultaneously — no upper limit); each group is
+    # padded up to the next power of two >= max(group size, batch_size) so
+    # uneven groups share compiled executables (bucketing).
+    batch_size: int = 1
     interactive: bool = True
     visualize: bool = False
     save_meshes: bool = True
@@ -154,6 +158,25 @@ class Config:
     @property
     def num_stages(self) -> int:
         return len(self.body_pose_prior_weights)
+
+    # Fields accepted for reference-CLI compatibility but intentionally not
+    # consumed anywhere (tests/test_config.py asserts every OTHER field is
+    # referenced by the package).  Each entry states why.
+    IGNORED_FOR_COMPAT = {
+        "data_weights": (
+            "dead in the reference too: fit_single_frame.py:566 overwrites "
+            "the scheduled value with 1000/H every stage"
+        ),
+        "degrees": (
+            "dead in the reference too: accepted at fit_single_frame.py:103 "
+            "and never read after the :133-134 default"
+        ),
+        "collision_window": (
+            "legacy sorted-axis sweep parameter; the Morton hierarchy broad "
+            "phase has no window assumption (ops/collision.py) and ignores "
+            "it — accepted so old configs load"
+        ),
+    }
 
     @property
     def body_tri_pairs(self) -> list[tuple[int, int]]:

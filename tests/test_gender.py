@@ -43,3 +43,40 @@ class TestGrouping:
         from smplifyx_tpu.data.gender import load_homogenus
         with pytest.raises(ImportError, match="homogenus"):
             load_homogenus("/nonexistent")
+
+
+class TestHomogenusHook:
+    def test_classifier_passes_image_and_keypoint_paths(self):
+        """The hook must match Homogenus's API: predict_gender_one_img(
+        img_dir=<image path>, keypoints_dir=<keypoint JSON path>) — the
+        reference calls it with two DIFFERENT paths (main.py:258-271).
+        Regression: round 2 passed the image path for both."""
+        from smplifyx_tpu.data.gender import homogenus_classifier
+
+        calls = []
+
+        class FakeInferer:
+            def predict_gender_one_img(self, img_dir, keypoints_dir):
+                calls.append((img_dir, keypoints_dir))
+                return "female"
+
+        classify = homogenus_classifier(FakeInferer())
+        record = FrameRecord(
+            fn="a", img_path="/imgs/a.png",
+            keypoints=np.zeros((1, 135, 3), np.float32), img_size=(8, 8),
+            keyp_path="/kps/a_keypoints.json",
+        )
+        assert classify(record) == "female"
+        assert calls == [("/imgs/a.png", "/kps/a_keypoints.json")]
+
+    def test_resolution_prefers_annotation_over_classifier(self):
+        from smplifyx_tpu.data.gender import homogenus_classifier
+
+        class FakeInferer:
+            def predict_gender_one_img(self, img_dir, keypoints_dir):
+                return "male"
+
+        classify = homogenus_classifier(FakeInferer())
+        assert resolve_gender(rec("a", gt=["female"]),
+                              classifier=classify) == "female"
+        assert resolve_gender(rec("a"), classifier=classify) == "male"
