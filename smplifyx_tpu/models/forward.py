@@ -156,15 +156,25 @@ def _head_yaw_bucket(rot_mats: jax.Array, neck_chain, num_buckets: int) -> jax.A
     Aggregates the head's global rotation along the neck kinematic chain and
     quantizes its negative yaw into [0, 39] (looking right) or [40, 78]
     (looking left) — the layout of the dynamic landmark tables.
+
+    Composition order matters and must match the tables' convention (the
+    public smplx package's find_dynamic_lmk_idx_and_bcoords): ancestors
+    apply on the LEFT, i.e. R_global = R_root @ ... @ R_neck @ R_head.
+    neck_chain is ordered head -> root, so each ancestor premultiplies.
+    (Caught by the differential oracle in test_smplx_package_parity.py —
+    the reversed product picks wrong contour buckets at large head yaws.)
     """
     B = rot_mats.shape[0]
     R = jnp.broadcast_to(jnp.eye(3, dtype=rot_mats.dtype), (B, 3, 3))
     for idx in neck_chain:
-        R = R @ rot_mats[:, int(idx)]
+        R = rot_mats[:, int(idx)] @ R
+    # yaw = -asin(R[2,0]) via atan2 (identical for orthonormal R); the
+    # bucket key is round(clamp(deg(yaw), max=39)) exactly as in smplx's
+    # find_dynamic_lmk_idx_and_bcoords.
     yaw = jnp.arctan2(
         -R[:, 2, 0], jnp.sqrt(R[:, 0, 0] ** 2 + R[:, 1, 0] ** 2)
     )
-    deg = jnp.round(jnp.clip(-yaw * (180.0 / jnp.pi), max=39.0)).astype(jnp.int32)
+    deg = jnp.round(jnp.clip(yaw * (180.0 / jnp.pi), max=39.0)).astype(jnp.int32)
     neg = deg < 0
     big_neg = deg < -39
     neg_vals = jnp.where(big_neg, 78, 39 - deg)
