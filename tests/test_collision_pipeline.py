@@ -1,5 +1,6 @@
 """Interpenetration term inside the full staged pipeline (small, CPU)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -14,6 +15,8 @@ from smplifyx_tpu.models.forward import BodyParams, smplx_forward
 from smplifyx_tpu.models.joint_mapping import model_to_annotation
 from smplifyx_tpu.ops.camera import CameraParams, project_points
 from smplifyx_tpu.ops.collision import make_collision_fn, synthetic_part_segm
+
+pytestmark = pytest.mark.e2e
 
 
 def test_pipeline_with_collision_term():

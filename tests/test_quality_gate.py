@@ -21,6 +21,8 @@ import os.path as osp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.e2e
+
 REF_DEMO = "/root/reference/demo"
 GOLDEN = osp.join(osp.dirname(__file__), "goldens", "demo_fit_golden.json")
 
