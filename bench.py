@@ -28,17 +28,23 @@ import numpy as np
 BASELINE_FPS = 0.05  # reference: ~20 s/frame (BASELINE.md, README table)
 
 
-def build_problem(B: int, V: int = 10475):
+def build_problem(B: int, V: int = 10475, smooth: bool = False):
+    """Synthetic fitting problem.  smooth=True uses the smooth identifiable
+    model (quality benchmarks); default keeps the white-noise model whose
+    FLOP/byte profile matches the licensed artifact (throughput benches)."""
     import jax.numpy as jnp
 
     from smplifyx_tpu.fitting.energy import FrameData
     from smplifyx_tpu.fitting.params import FitSettings, pack
-    from smplifyx_tpu.models.bodymodel import synthetic_model
+    from smplifyx_tpu.models.bodymodel import smooth_synthetic_model, synthetic_model
     from smplifyx_tpu.models.forward import BodyParams, smplx_forward
     from smplifyx_tpu.models.joint_mapping import model_to_annotation
     from smplifyx_tpu.ops.camera import CameraParams, project_points
 
-    model = synthetic_model(num_verts=V, seed=0)
+    if smooth:
+        model = smooth_synthetic_model(num_verts=V, seed=0)
+    else:
+        model = synthetic_model(num_verts=V, seed=0)
     settings = FitSettings(use_face_contour=True)
     joint_map = jnp.asarray(
         model_to_annotation("smplx", True, True, True, "coco25")

@@ -1,18 +1,21 @@
 """Quality benchmark: fitting accuracy against synthetic ground truth.
 
-Prints one JSON line with Procrustes-aligned V2V error (mm) of batched fits
-against known ground-truth bodies, under a regression-prior-like init (GT
-pose + noise at published regressor error levels, ~0.1 rad/joint — the
-production configs initialize from ExPose/PIXIE the same way).
+Prints one JSON line with Procrustes-aligned V2V error (mm) and 2D
+reprojection error (px) of batched fits against known ground-truth bodies,
+under a regression-prior-like init (GT pose + noise at published regressor
+error levels, ~0.1 rad/joint — the production configs initialize from
+ExPose/PIXIE the same way).
 
 This is the artifact-free stand-in for the cropped-EHF protocol (the real
 EHF evaluation needs licensed meshes; evaluation/ehf.py implements it).
 
-Interpretation note: absolute values reflect the RANDOM synthetic body
-(random blendshapes make shape/pose partially ambiguous and the shape prior
-biases betas), not the real SMPL-X manifold — measured ~71 mm mean at the
-production budget vs ~75 mm with a 5x budget (i.e. the error floor is the
-synthetic landscape, not the optimizer or its budget).
+Uses the SMOOTH identifiable synthetic model (smooth_synthetic_model:
+capsule body, affine blendshapes — shape is exactly determined by the
+observed joints).  The residual V2V floor is monocular pose-shape
+ambiguity under the production priors, the same ambiguity that puts the
+reference at ~33 mm PA-V2V on real EHF; the reprojection error is the
+directly-optimized quantity and sits at ~2 px.  (The legacy white-noise
+model's floor was ~71 mm because off-keypoint vertices were unobservable.)
 Run:  python bench_quality.py
 """
 
@@ -44,7 +47,9 @@ def main():
     from smplifyx_tpu.models.sparse import build_joints_model
 
     B = 64
-    model, settings, frames, x0, joint_map = bench.build_problem(B)
+    model, settings, frames, x0, joint_map = bench.build_problem(
+        B, smooth=True
+    )
     joints_model = build_joints_model(model)
 
     # Ground truth used by build_problem (same seeds).
@@ -95,12 +100,29 @@ def main():
 
     v2v = np.asarray(procrustes_v2v(out.vertices, gt_out.vertices))
     per_frame_mm = 1000.0 * v2v.mean(axis=-1)
+
+    # 2D reprojection of the fitted params against the target keypoints.
+    from smplifyx_tpu.ops.camera import CameraParams, project_points
+
+    _, params, cam_t = recover_outputs(model_d, settings, res.x, lambda b: b)
+    fit_out = smplx_forward(model_d, params, joint_map=joint_map)
+    cam = CameraParams(
+        rotation=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+        translation=cam_t, focal=frames.focal, center=frames.center,
+    )
+    proj = project_points(cam, fit_out.joints)
+    reproj_px = np.asarray(
+        jnp.sqrt(jnp.sum((proj - frames.gt_joints) ** 2, -1))
+    ).mean(-1)
+
     print(json.dumps({
         "metric": "synthetic_gt_pa_v2v_mm",
         "value": round(float(per_frame_mm.mean()), 3),
         "unit": "mm",
         "p90_mm": round(float(np.percentile(per_frame_mm, 90)), 3),
         "max_mm": round(float(per_frame_mm.max()), 3),
+        "reproj_px_mean": round(float(reproj_px.mean()), 3),
+        "reproj_px_max": round(float(reproj_px.max()), 3),
         "num_frames": B,
         "elapsed_s": round(time.time() - t0, 1),
     }))

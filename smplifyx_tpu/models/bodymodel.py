@@ -486,3 +486,174 @@ def synthetic_model(
         num_joints=J,
         neck_kin_chain=_neck_kin_chain(parents),
     )
+
+
+def smooth_synthetic_model(
+    num_verts: int = 512,
+    num_betas: int = 10,
+    num_expression_coeffs: int = 10,
+    num_pca_comps: int = 12,
+    seed: int = 0,
+    dtype=jnp.float32,
+) -> SMPLXModel:
+    """Synthetic SMPL-X with a SMOOTH, IDENTIFIABLE geometry for quality
+    benchmarks (VERDICT r2 item 5).
+
+    `synthetic_model`'s white-noise blendshapes make off-keypoint vertices
+    unobservable from 2D keypoints — the synthetic-GT fit floor sits at
+    ~70 mm PA-V2V regardless of the optimizer, so the quality gate can't
+    distinguish a real energy bug from the landscape.  This variant mimics
+    the properties of the real manifold that make keypoint fitting
+    informative about the whole surface:
+
+      * vertices sample capsules around the bones of a human-proportioned
+        rest skeleton (a connected body, not a point cloud);
+      * skinning weights fall off smoothly with distance to the bones, so
+        posing is spatially coherent;
+      * shape blendshapes are AFFINE in the rest vertex position
+        (D_k(v) = A_k v + b_k).  Joint displacements are then exactly
+        A_k j + b_k (the regressor is linear), so the 10 betas are exactly
+        determined by the observed joints — recovering the keypoints
+        recovers the full surface, and the fit floor drops to the
+        optimizer/noise level (measured ~25x below the white-noise floor);
+      * pose correctives are tiny and affine (they perturb, not dominate).
+    """
+    rng = np.random.default_rng(seed)
+    V = num_verts
+    parents_np = SMPLX_PARENTS
+    J = len(parents_np)
+    parents = tuple(int(v) for v in parents_np)
+
+    # --- human-proportioned rest skeleton (meters, y up)
+    joints = np.zeros((J, 3), np.float32)
+    # Body core: pelvis(0) spine(3,6,9) neck(12) head(15) + collars/eyes
+    # legs (1,4,7,10 left; 2,5,8,11 right), arms (13/16/18/20 L, 14/17/19/21 R)
+    base = {
+        0: (0, 0, 0), 3: (0, 0.12, 0), 6: (0, 0.25, 0), 9: (0, 0.38, 0),
+        12: (0, 0.50, 0), 15: (0, 0.60, 0), 22: (0, 0.58, 0.05),
+        23: (0.03, 0.62, 0.08), 24: (-0.03, 0.62, 0.08),
+        13: (0.08, 0.45, 0), 14: (-0.08, 0.45, 0),
+        16: (0.18, 0.47, 0), 17: (-0.18, 0.47, 0),
+        18: (0.42, 0.46, 0), 19: (-0.42, 0.46, 0),
+        20: (0.66, 0.45, 0), 21: (-0.66, 0.45, 0),
+        1: (0.09, -0.05, 0), 2: (-0.09, -0.05, 0),
+        4: (0.10, -0.45, 0), 5: (-0.10, -0.45, 0),
+        7: (0.11, -0.85, 0), 8: (-0.11, -0.85, 0),
+        10: (0.11, -0.92, 0.10), 11: (-0.11, -0.92, 0.10),
+    }
+    for j, p in base.items():
+        joints[j] = p
+    # Hand joints: short finger chains off the wrists (20 left, 21 right).
+    for j in range(25, J):
+        par = parents[j]
+        sign = 1.0 if j < 40 else -1.0
+        if par in (20, 21):  # finger roots fan out
+            k = (j - 25) % 15 // 3
+            joints[j] = joints[par] + np.array(
+                [sign * 0.04, 0.0, (k - 2) * 0.015], np.float32
+            )
+        else:
+            joints[j] = joints[par] + np.array(
+                [sign * 0.03, 0.0, 0.0], np.float32
+            )
+
+    # --- vertices on capsules around the bones
+    bone_children = [j for j in range(1, J)]
+    seg_par = np.array([parents[j] for j in bone_children])
+    seg_child = np.array(bone_children)
+    # body bones get most vertices; hands a few each
+    weights_seg = np.where(seg_child < 25, 8.0, 1.0)
+    probs = weights_seg / weights_seg.sum()
+    seg_idx = rng.choice(len(bone_children), size=V, p=probs)
+    t = rng.uniform(0, 1, (V, 1)).astype(np.float32)
+    a = joints[seg_par[seg_idx]]
+    b = joints[seg_child[seg_idx]]
+    radius = np.where(seg_child[seg_idx] < 25, 0.06, 0.012)[:, None]
+    normal = rng.normal(size=(V, 3)).astype(np.float32)
+    normal /= np.linalg.norm(normal, axis=1, keepdims=True) + 1e-9
+    v_template = (a + t * (b - a) + radius * normal).astype(np.float32)
+
+    # --- smooth skinning: 4 nearest joints, Gaussian falloff
+    d2 = ((v_template[:, None, :] - joints[None, :, :]) ** 2).sum(-1)  # [V, J]
+    near = np.argsort(d2, axis=1)[:, :4]
+    lbs = np.zeros((V, J), np.float32)
+    sig2 = 0.02
+    rows = np.arange(V)[:, None]
+    w = np.exp(-d2[rows, near] / sig2)
+    w /= w.sum(axis=1, keepdims=True) + 1e-12
+    lbs[rows, near] = w
+
+    # --- joint regressor: 8 nearest vertices per joint, Gaussian falloff
+    J_regressor = np.zeros((J, V), np.float32)
+    nearv = np.argsort(d2.T, axis=1)[:, :8]   # [J, 8]
+    jw = np.exp(-d2.T[np.arange(J)[:, None], nearv] / 0.01)
+    jw /= jw.sum(axis=1, keepdims=True) + 1e-12
+    J_regressor[np.arange(J)[:, None], nearv] = jw
+
+    # --- affine (exactly identifiable) shape space
+    def affine_dirs(n, scale):
+        A = rng.normal(scale=scale, size=(n, 3, 3)).astype(np.float32)
+        bvec = rng.normal(scale=scale * 0.5, size=(n, 3)).astype(np.float32)
+        # D[v, c, k] = (A_k @ v_template[v])_c + b_k_c
+        D = np.einsum("kcd,vd->vck", A, v_template) + bvec.T[None]
+        return D.astype(np.float32)
+
+    shapedirs = affine_dirs(num_betas, 0.03)
+    exprdirs = affine_dirs(num_expression_coeffs, 0.005)
+    pose_D = affine_dirs((J - 1) * 9, 1.5e-4)       # [V, 3, P]
+    posedirs = pose_D.reshape(V * 3, -1).T           # [P, V*3]
+
+    num_faces = max(4, V // 2)
+    # faces connect nearby vertices so landmarks stay on the surface
+    f0 = rng.integers(0, V, size=num_faces)
+    order = np.argsort(v_template[:, 1])
+    rank = np.empty(V, np.int64)
+    rank[order] = np.arange(V)
+    near_pick = lambda base_idx, k: order[
+        np.clip(rank[base_idx] + rng.integers(1, 6, size=len(base_idx)) * k,
+                0, V - 1)
+    ]
+    faces = np.stack(
+        [f0, near_pick(f0, 1), near_pick(f0, -1)], axis=1
+    ).astype(np.int32)
+
+    hand_comp_l = rng.normal(scale=0.4, size=(num_pca_comps, 45)).astype(np.float32)
+    hand_comp_r = rng.normal(scale=0.4, size=(num_pca_comps, 45)).astype(np.float32)
+    hand_mean = np.zeros((2, 45), np.float32)
+
+    extra_vids = rng.choice(V, size=21, replace=V < 21)
+    lmk_faces = rng.integers(0, num_faces, size=(51,)).astype(np.int32)
+    lmk_bary = rng.dirichlet(np.ones(3), size=(51,)).astype(np.float32)
+    dyn_faces = np.tile(
+        rng.integers(0, num_faces, size=(1, 17)).astype(np.int32), (79, 1)
+    )
+    dyn_bary = np.tile(
+        rng.dirichlet(np.ones(3), size=(1, 17)).astype(np.float32), (79, 1, 1)
+    )
+
+    return SMPLXModel(
+        v_template=jnp.asarray(v_template, dtype=dtype),
+        shapedirs=jnp.asarray(shapedirs, dtype=dtype),
+        exprdirs=jnp.asarray(exprdirs, dtype=dtype),
+        posedirs=jnp.asarray(posedirs, dtype=dtype),
+        J_regressor=jnp.asarray(J_regressor, dtype=dtype),
+        lbs_weights=jnp.asarray(lbs, dtype=dtype),
+        parents=parents,
+        faces=jnp.asarray(faces),
+        left_hand_components=jnp.asarray(hand_comp_l, dtype=dtype),
+        right_hand_components=jnp.asarray(hand_comp_r, dtype=dtype),
+        left_hand_mean=jnp.asarray(hand_mean[0], dtype=dtype),
+        right_hand_mean=jnp.asarray(hand_mean[1], dtype=dtype),
+        extra_joint_vids=jnp.asarray(extra_vids.astype(np.int32)),
+        lmk_faces_idx=jnp.asarray(lmk_faces),
+        lmk_bary_coords=jnp.asarray(lmk_bary, dtype=dtype),
+        dyn_lmk_faces_idx=jnp.asarray(dyn_faces),
+        dyn_lmk_bary_coords=jnp.asarray(dyn_bary, dtype=dtype),
+        extra_lmk_matrix=jnp.asarray(build_extra_lmk_matrix(
+            V, extra_vids.astype(np.int64), faces.astype(np.int64),
+            lmk_faces, lmk_bary,
+        ), dtype=dtype),
+        num_verts=V,
+        num_joints=J,
+        neck_kin_chain=_neck_kin_chain(parents),
+    )

@@ -1,14 +1,25 @@
-"""Quality regression gates (VERDICT round-1 item 5): pytest FAILS on fit-
-quality regressions, not just crashes.
+"""Quality regression gates: pytest FAILS on fit-quality regressions, not
+just crashes.
 
-Two gates:
-  * synthetic-GT PA-V2V + 2D reprojection at a CPU-sized version of the
-    bench protocol (bench_quality.py): fixed seeds, checked-in thresholds
-    measured with ~25% headroom over the round-2 baseline
-    (mean 47.6 mm / p90 77.9 mm / max 95.4 mm / reproj <= 14.6 px at
-    B=8, V=512 on CPU);
+Two gates, calibrated round 3 (VERDICT r2 item 5):
+  * synthetic-GT PA-V2V + 2D reprojection on the SMOOTH identifiable model
+    (smooth_synthetic_model: capsule body, affine blendshapes — betas are
+    exactly determined by the observed joints).  Measured at B=8, V=512 on
+    CPU: PA-V2V mean 43.5 mm / p90 97.1 / max 118.0; 2D reprojection
+    mean 2.04 px.  The remaining V2V floor is monocular pose-shape
+    ambiguity under the production priors (the same ambiguity that puts
+    the reference at ~33 mm on real EHF), NOT optimizer noise — so V2V
+    thresholds carry ~15% headroom and the REPROJECTION threshold is the
+    tight optimizer-health probe (2 px measured vs 12 px before).
   * golden-file comparison of the demo-fixture fit (final losses and
-    camera translations) against tests/goldens/demo_fit_golden.json.
+    camera translations) against tests/goldens/demo_fit_golden.json with a
+    1% loss tolerance.  This is the sharp energy-correctness instrument:
+    the run is bit-deterministic on one platform (measured rerun drift
+    exactly 0.0), and a deliberately injected 10% data-term weight bug
+    shifts the demo losses by 9.3-11.9% — caught at 1%, MISSED by the old
+    10% tolerance.  V2V/reproj barely move under that same bug (41.7 vs
+    43.5 mm; 2.02 vs 2.04 px): energy-weight bugs rebalance terms, they
+    don't break the fit, so only the loss golden can see them.
     Regenerate with REGEN_GOLDEN=1 python -m pytest tests/test_quality_gate.py
     after an INTENDED behavior change, and justify the regeneration in the
     commit message.
@@ -46,7 +57,9 @@ class TestSyntheticGTQuality:
         from smplifyx_tpu.ops.camera import CameraParams, project_points
 
         B, V = 8, 512
-        model, settings, frames, x0, joint_map = bench.build_problem(B, V=V)
+        model, settings, frames, x0, joint_map = bench.build_problem(
+            B, V=V, smooth=True
+        )
         joints_model = build_joints_model(model)
 
         # Ground truth (same seeds as build_problem).
@@ -93,11 +106,11 @@ class TestSyntheticGTQuality:
         v2v_mm = 1000.0 * np.asarray(
             procrustes_v2v(out.vertices, gt_out.vertices)
         ).mean(-1)
-        # Thresholds: round-2 baseline + ~25% headroom for cross-platform
-        # numeric drift; a real optimizer/energy regression blows well past.
-        assert v2v_mm.mean() <= 60.0, v2v_mm
-        assert np.percentile(v2v_mm, 90) <= 95.0, v2v_mm
-        assert v2v_mm.max() <= 120.0, v2v_mm
+        # Measured on the smooth model: mean 43.5 / p90 97.1 / max 118.0
+        # (floor = monocular ambiguity, see module docstring); ~15% headroom.
+        assert v2v_mm.mean() <= 50.0, v2v_mm
+        assert np.percentile(v2v_mm, 90) <= 110.0, v2v_mm
+        assert v2v_mm.max() <= 135.0, v2v_mm
 
         # The fit must improve on its own (noisy-GT) initialization.
         init_out, _, _ = recover_outputs(model, settings, x0, lambda b: b)
@@ -116,8 +129,9 @@ class TestSyntheticGTQuality:
         reproj_px = np.asarray(
             jnp.sqrt(jnp.sum((proj - frames.gt_joints) ** 2, -1))
         ).mean(-1)
-        assert reproj_px.mean() <= 12.0, reproj_px
-        assert reproj_px.max() <= 25.0, reproj_px
+        # Tight optimizer-health probe: measured 2.04 px overall mean.
+        assert reproj_px.mean() <= 4.0, reproj_px
+        assert reproj_px.max() <= 10.0, reproj_px
 
 
 @pytest.mark.skipif(not osp.isdir(REF_DEMO), reason="reference demo absent")
@@ -171,12 +185,14 @@ class TestDemoGoldenRegression:
         assert set(stats) == set(golden)
         for name in golden:
             g, s = golden[name], stats[name]
-            # Final loss within 10% (identical seeds/config; tolerance only
-            # covers cross-platform float drift).
-            assert abs(s["loss"] - g["loss"]) <= 0.10 * abs(g["loss"]) + 1.0, (
+            # Final loss within 1%: the run is bit-deterministic on one
+            # platform (rerun drift 0.0 measured), and an injected 10%
+            # data-weight bug shifts these losses 9.3-11.9% — the old 10%
+            # tolerance missed it (module docstring).
+            assert abs(s["loss"] - g["loss"]) <= 0.01 * abs(g["loss"]) + 1.0, (
                 name, s["loss"], g["loss"])
-            # Camera depth within 10%, lateral within 0.1 m.
+            # Camera depth within 2%, lateral within 0.05 m.
             assert abs(s["cam_t"][2] - g["cam_t"][2]) <= (
-                0.10 * abs(g["cam_t"][2]) + 1e-3), (name, s, g)
-            assert abs(s["cam_t"][0] - g["cam_t"][0]) <= 0.1
-            assert abs(s["cam_t"][1] - g["cam_t"][1]) <= 0.1
+                0.02 * abs(g["cam_t"][2]) + 1e-3), (name, s, g)
+            assert abs(s["cam_t"][0] - g["cam_t"][0]) <= 0.05
+            assert abs(s["cam_t"][1] - g["cam_t"][1]) <= 0.05
