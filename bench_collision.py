@@ -1,25 +1,32 @@
 """Collision-on throughput bench: staged fit with the interpenetration term.
 
 Usage: python bench_collision.py [B] [iters_per_stage] [coll_broad_every]
+                                 [mono|split]
 
 Companion to bench.py (which reports the flagship collision-off number):
 SMPL-X-scale faces (20908 tris) + synthetic parts segmentation, 3-stage
 schedule with collision active in stages 2-3 (the flagship preset's
 semantics), Morton broad phase hoisted to every `coll_broad_every`-th
 L-BFGS iteration.  Collision-enabled fits are HBM-bound at B<=32 per chip
-(docs/ARCHITECTURE.md); through the remote-TPU tunnel keep single
-dispatches short (B*iters small) or they hit the RPC deadline.
+(docs/ARCHITECTURE.md).
+
+`split` mode runs the fit as SEPARATE dispatches — (camera + collision-off
+stage) first, then one dispatch per collision stage (FitOptions
+camera_stage=False resumes from the previous dispatch's x) — so each RPC
+through a remote-TPU tunnel stays under the per-dispatch deadline.  The
+computed result is the same program split at stage boundaries; steady-state
+timing sums the dispatches.
 """
 import json, sys, time
 import numpy as np
 
-def main(B, iters, aux_every, refresh):
+def build(B, iters, aux_every, refresh):
     import jax, jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     import bench
     from smplifyx_tpu.fitting.lbfgs import LBFGSConfig
-    from smplifyx_tpu.fitting.pipeline import FitOptions, fit_batch
+    from smplifyx_tpu.fitting.pipeline import FitOptions
     from smplifyx_tpu.fitting.stages import build_stage_schedule
     from smplifyx_tpu.models.sparse import build_joints_model
     from smplifyx_tpu.ops.collision import make_collision_fn, synthetic_part_segm
@@ -46,33 +53,100 @@ def main(B, iters, aux_every, refresh):
                           ls_soft_accept=6, aux_every=aux_every),
         camera_lbfgs=LBFGSConfig(max_iters=10, history=8, ls_soft_accept=6),
         coll_broad_refresh=refresh)
+    return (jax, jnp, model, settings, frames, x0, joint_map, joints_model,
+            collision_fn, schedule, options)
+
+
+def run_mono(B, iters, aux_every, refresh):
+    from smplifyx_tpu.fitting.pipeline import fit_batch
+    (jax, jnp, model, settings, frames, x0, joint_map, joints_model,
+     collision_fn, schedule, options) = build(B, iters, aux_every, refresh)
     fit = jax.jit(lambda m, jm, fr, x: fit_batch(
         m, settings, options, schedule, fr, x, lambda b: b, joint_map,
         edge_idxs=jnp.asarray([[5, 12], [2, 9]]), joints_model=jm,
         collision_fn=collision_fn, coll_stage_mask=(False, True, True)))
     model = jax.device_put(model); joints_model = jax.device_put(joints_model)
     t0 = time.perf_counter()
-    lowered = fit.lower(model, joints_model, frames, x0)
-    print(json.dumps({"lowered_s": round(time.perf_counter()-t0, 1)}), flush=True)
-    t0 = time.perf_counter()
-    compiled = lowered.compile()
-    print(json.dumps({"compile_s": round(time.perf_counter()-t0, 1)}), flush=True)
-    t0 = time.perf_counter()
-    res = compiled(model, joints_model, frames, x0)
-    import jax as j; j.block_until_ready(res.loss)
+    res = fit(model, joints_model, frames, x0)
+    jax.block_until_ready(res.loss)
     dt = time.perf_counter() - t0
-    loss = np.asarray(res.loss)
-    print(json.dumps({"B": B, "iters": iters, "aux_every": aux_every,
-                      "first_run_s": round(dt, 1),
-                      "fps": round(B/dt, 2),
-                      "loss_mean": float(loss.mean())}), flush=True)
+    print(json.dumps({"mode": "mono", "B": B, "first_run_s": round(dt, 1),
+                      "fps": round(B / dt, 2)}), flush=True)
     t0 = time.perf_counter()
-    res = compiled(model, joints_model, frames, x0)
-    j.block_until_ready(res.loss)
+    res = fit(model, joints_model, frames, x0)
+    jax.block_until_ready(res.loss)
     dt = time.perf_counter() - t0
-    print(json.dumps({"steady_s": round(dt, 2), "fps": round(B/dt, 2)}), flush=True)
+    print(json.dumps({"mode": "mono", "B": B, "steady_s": round(dt, 2),
+                      "fps": round(B / dt, 2),
+                      "loss_mean": float(np.asarray(res.loss).mean())}),
+          flush=True)
+    return B / dt
+
+
+def run_split(B, iters, aux_every, refresh):
+    import jax.tree_util as jtu
+    from smplifyx_tpu.fitting.pipeline import fit_batch
+    (jax, jnp, model, settings, frames, x0, joint_map, joints_model,
+     collision_fn, schedule, options) = build(B, iters, aux_every, refresh)
+
+    def head_sched():
+        return jtu.tree_map(lambda a: a[0:1], schedule)
+
+    def stage_sched(k):
+        return jtu.tree_map(lambda a: a[k:k + 1], schedule)
+
+    # dispatch 1: camera + stage 0 (collision off -> sparse energy)
+    fit_head = jax.jit(lambda m, jm, fr, x: fit_batch(
+        m, settings, options, head_sched(), fr, x, lambda b: b, joint_map,
+        edge_idxs=jnp.asarray([[5, 12], [2, 9]]), joints_model=jm,
+        collision_fn=collision_fn, coll_stage_mask=(False,)))
+    # dispatches 2..S: one collision stage each, no camera re-fit
+    opt_body = options.replace(camera_stage=False)
+    fit_stage = jax.jit(lambda m, jm, fr, x, w: fit_batch(
+        m, settings, opt_body, w, fr, x, lambda b: b, joint_map,
+        edge_idxs=jnp.asarray([[5, 12], [2, 9]]), joints_model=jm,
+        collision_fn=collision_fn, coll_stage_mask=(True,)))
+
+    model = jax.device_put(model); joints_model = jax.device_put(joints_model)
+
+    def one_round():
+        times = []
+        t0 = time.perf_counter()
+        res = fit_head(model, joints_model, frames, x0)
+        jax.block_until_ready(res.loss)
+        times.append(time.perf_counter() - t0)
+        x = res.x
+        for k in (1, 2):
+            t0 = time.perf_counter()
+            res = fit_stage(model, joints_model, frames, x, stage_sched(k))
+            jax.block_until_ready(res.loss)
+            times.append(time.perf_counter() - t0)
+            x = res.x
+        return times, res
+
+    times, res = one_round()   # compile + warmup
+    print(json.dumps({"mode": "split", "B": B,
+                      "first_run_s": [round(t, 1) for t in times]}),
+          flush=True)
+    times, res = one_round()
+    total = sum(times)
+    print(json.dumps({"mode": "split", "B": B,
+                      "steady_s": [round(t, 2) for t in times],
+                      "total_s": round(total, 2),
+                      "fps": round(B / total, 2),
+                      "loss_mean": float(np.asarray(res.loss).mean())}),
+          flush=True)
+    return B / total
+
 
 if __name__ == "__main__":
     a = sys.argv[1:]
-    main(int(a[0]) if a else 8, int(a[1]) if len(a) > 1 else 30,
-         int(a[2]) if len(a) > 2 else 8, a[3] if len(a) > 3 else "iter")
+    B = int(a[0]) if a else 8
+    iters = int(a[1]) if len(a) > 1 else 30
+    aux_every = int(a[2]) if len(a) > 2 else 8
+    mode = a[3] if len(a) > 3 else "mono"
+    refresh = "iter"
+    if mode == "split":
+        run_split(B, iters, aux_every, refresh)
+    else:
+        run_mono(B, iters, aux_every, refresh)

@@ -56,6 +56,12 @@ class FitOptions:
     # same ftol/gtol/NaN termination.  First-order runs use the exact
     # per-evaluation collision broad phase (no line search to hoist out of).
     optim_type: str = struct.field(pytree_node=False, default="lbfgsls")
+    # Run the stage-0 camera fit (+ guess-init).  Disable when resuming the
+    # body stages from an already-camera-fitted x0 — e.g. when splitting
+    # one fit into several smaller dispatches (each jitted call stays under
+    # remote-execution RPC deadlines; see bench_collision.py --split) or
+    # when warm-starting from checkpointed params.
+    camera_stage: bool = struct.field(pytree_node=False, default=True)
     side_view_thsh: float = struct.field(pytree_node=False, default=25.0)
     left_shoulder_idx: int = struct.field(pytree_node=False, default=2)
     right_shoulder_idx: int = struct.field(pytree_node=False, default=5)
@@ -130,7 +136,7 @@ def fit_batch(
             )
 
     # ---- camera translation init (guess_init path) --------------------
-    if not options.use_camera_prior:
+    if not options.use_camera_prior and options.camera_stage:
         assert edge_idxs is not None
         init_t = jax.vmap(
             lambda x, f: guess_camera_depth(
@@ -144,20 +150,25 @@ def fit_batch(
         x0 = pack(settings, **seg)
 
     # ---- stage 0: camera ----------------------------------------------
-    def cam_fit_one(x, frame):
-        fun = lambda xx: camera_init_energy(
-            xx, settings, model, frame, decode_body, joint_map,
-            joints_model=joints_model,
-        )
-        return run_min(fun, x, cam_mask, options.camera_lbfgs)
+    if options.camera_stage:
+        def cam_fit_one(x, frame):
+            fun = lambda xx: camera_init_energy(
+                xx, settings, model, frame, decode_body, joint_map,
+                joints_model=joints_model,
+            )
+            return run_min(fun, x, cam_mask, options.camera_lbfgs)
 
-    cam_res = jax.vmap(cam_fit_one)(x0, frames)
-    x_cam = cam_res.x
-    # NOTE: recorded BEFORE the dual-orientation doubling, so for a frame
-    # whose 180-degree flip wins the body fit, FitResult.camera_loss still
-    # describes the (shared) unflipped camera stage — the flip reuses the
-    # fitted camera translation (reference fit_single_frame.py:527-538).
-    camera_loss = cam_res.f
+        cam_res = jax.vmap(cam_fit_one)(x0, frames)
+        x_cam = cam_res.x
+        # NOTE: recorded BEFORE the dual-orientation doubling, so for a
+        # frame whose 180-degree flip wins the body fit,
+        # FitResult.camera_loss still describes the (shared) unflipped
+        # camera stage — the flip reuses the fitted camera translation
+        # (reference fit_single_frame.py:527-538).
+        camera_loss = cam_res.f
+    else:
+        x_cam = x0
+        camera_loss = jnp.zeros((B,), x0.dtype)
 
     # ---- optional dual orientation: double the batch -------------------
     if options.try_both_orient:

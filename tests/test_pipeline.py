@@ -243,3 +243,55 @@ class TestSchedule:
     def test_length_mismatch_raises(self):
         with pytest.raises(AssertionError):
             build_stage_schedule([1.0, 2.0], shape_weights=[1.0])
+
+
+class TestSplitDispatch:
+    def test_camera_stage_off_resumes_equivalently(self, setup):
+        """Splitting a fit into (camera + stage0) then per-stage dispatches
+        with camera_stage=False must produce the same result as the single
+        monolithic program (the RPC-deadline splitting used by
+        bench_collision.py --split and by checkpoint resume)."""
+        import jax.tree_util as jtu
+
+        model, settings, joint_map, gt_params, gt_cam_t, frames, gt_out = setup
+        schedule = build_stage_schedule(
+            body_pose_prior_weights=[4.04e2, 57.4],
+            shape_weights=[1e2, 1e1], expr_weights=[1e2, 1e1],
+            hand_pose_prior_weights=[1e2, 1e1],
+            hand_joints_weights=[0.0, 1.0], face_joints_weights=[0.0, 1.0],
+        )
+        options = FitOptions(
+            lbfgs=LBFGSConfig(max_iters=20, history=8),
+            camera_lbfgs=LBFGSConfig(max_iters=10, history=8),
+        )
+        rng = np.random.default_rng(7)
+        x0 = pack(
+            settings,
+            cam_t=jnp.zeros((B, 3)),
+            global_orient=gt_params.global_orient,
+            body=gt_params.body_pose
+            + jnp.asarray(rng.normal(0, 0.05, (B, 63)), jnp.float32),
+        )
+        edge_idxs = jnp.asarray([[5, 12], [2, 9]])
+
+        mono = fit_batch(
+            model, settings, options, schedule, frames, x0,
+            identity_decode, joint_map, edge_idxs=edge_idxs,
+        )
+
+        head = fit_batch(
+            model, settings, options,
+            jtu.tree_map(lambda a: a[0:1], schedule), frames, x0,
+            identity_decode, joint_map, edge_idxs=edge_idxs,
+        )
+        tail = fit_batch(
+            model, settings, options.replace(camera_stage=False),
+            jtu.tree_map(lambda a: a[1:2], schedule), frames, head.x,
+            identity_decode, joint_map, edge_idxs=edge_idxs,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tail.x), np.asarray(mono.x), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(tail.loss), np.asarray(mono.loss), rtol=1e-4
+        )
