@@ -270,6 +270,7 @@ def _fit_family(model_type, use_hands, fmt="coco25"):
     return res
 
 
+@pytest.mark.slow
 class TestFamilyFits:
     def test_smplh_end_to_end(self):
         _fit_family("smplh", use_hands=True)

@@ -82,6 +82,7 @@ def setup():
     return model, settings, joint_map, gt_params, gt_cam_t, frames, out
 
 
+@pytest.mark.slow
 class TestFitBatch:
     def test_recovers_synthetic_ground_truth(self, setup):
         model, settings, joint_map, gt_params, gt_cam_t, frames, gt_out = setup
@@ -245,6 +246,7 @@ class TestSchedule:
             build_stage_schedule([1.0, 2.0], shape_weights=[1.0])
 
 
+@pytest.mark.slow
 class TestSplitDispatch:
     def test_camera_stage_off_resumes_equivalently(self, setup):
         """Splitting a fit into (camera + stage0) then per-stage dispatches

@@ -79,6 +79,7 @@ class TestMesh:
         assert mesh2.shape == {"data": 4, "model": 2}
 
 
+@pytest.mark.slow
 class TestDataParallelFit:
     def test_sharded_matches_single_device(self):
         B = 8
