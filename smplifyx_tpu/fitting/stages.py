@@ -5,7 +5,10 @@ Mirrors the reference's per-stage weight dict construction
 weight is always 3.17x the body pose weight (:567-568), and the data weight
 is the per-frame 1000/H (:450, :566 — it lives in FrameData here, not in the
 schedule; the config's `data_weights` list is dead in the reference and is
-preserved only for config compatibility).
+preserved only for config compatibility).  The reference's
+`global_orient_weights` knob is dead there too (fit_single_frame.py:162,343
+— SMPLifyLoss has no matching buffer, so reset_loss_weights' hasattr check
+silently drops it); this framework deliberately does not expose it.
 """
 
 from __future__ import annotations

@@ -371,50 +371,56 @@ def make_collision_fn(
         bj = bj_f.astype(jnp.int32)
 
         # ---- level 2: 8x8 triangle refinement ---------------------------
-        ra = bi[:, None] * _BLK + jnp.arange(_BLK)[None, :]   # [Pb, 8] ranks
-        rb = bj[:, None] * _BLK + jnp.arange(_BLK)[None, :]
-        mt = validB[:, None, None] & (ra[:, :, None] < rb[:, None, :])
         amin_blk = [amin_s[:, k].reshape(nb, _BLK) for k in range(3)]
         amax_blk = [amax_s[:, k].reshape(nb, _BLK) for k in range(3)]
-        for k in range(3):
-            a_min = amin_blk[k][bi]                     # [Pb, 8] row gathers
-            a_max = amax_blk[k][bi]
-            b_min = amin_blk[k][bj]
-            b_max = amax_blk[k][bj]
-            mt &= (b_min[:, None, :] <= a_max[:, :, None]) \
-                & (b_max[:, None, :] >= a_min[:, :, None])
         if segm_j is not None:
             sgb_f = sgb.astype(fp32)
             prb_f = prb.astype(fp32)
-            sa = sgb_f[bi]                              # [Pb, 8]
-            pa = prb_f[bi]
-            sb = sgb_f[bj]
-            pb = prb_f[bj]
-            mt &= ~rel_drop(sa[:, :, None], pa[:, :, None],
-                            sb[:, None, :], pb[:, None, :])
+
+        def tri_mask(bi_, bj_, valid_):
+            """[N] block-pair ids -> [N, 8, 8] surviving triangle-pair mask
+            (AABB overlap, rank order, exact FilterFaces part test)."""
+            ra_ = bi_[:, None] * _BLK + jnp.arange(_BLK)[None, :]
+            rb_ = bj_[:, None] * _BLK + jnp.arange(_BLK)[None, :]
+            m = valid_[:, None, None] & (ra_[:, :, None] < rb_[:, None, :])
+            for k in range(3):
+                a_min = amin_blk[k][bi_]                # [N, 8] row gathers
+                a_max = amax_blk[k][bi_]
+                b_min = amin_blk[k][bj_]
+                b_max = amax_blk[k][bj_]
+                m &= (b_min[:, None, :] <= a_max[:, :, None]) \
+                    & (b_max[:, None, :] >= a_min[:, :, None])
+            if segm_j is not None:
+                m &= ~rel_drop(
+                    sgb_f[bi_][:, :, None], prb_f[bi_][:, :, None],
+                    sgb_f[bj_][:, None, :], prb_f[bj_][:, None, :],
+                )
+            return m
+
+        mt = tri_mask(bi, bj, validB)                   # [Pb, 8, 8]
 
         # ---- final compaction to the narrow-phase budget ----------------
         # Two-stage: the flat [Pb * 64] mask is the single most expensive
-        # top_k in the broad phase (1.57M elements at SMPL-X scale), but
+        # top_k in the broad phase (1.8M elements at SMPL-X scale), but
         # block pairs CONTAINING a surviving triangle pair are rare (every
         # True needs one, and the oracle measures ~1.6k final survivors).
-        # First compact the block pairs with >= 1 hit to `Ph`, then run the
-        # big compaction over only their [Ph, 64] masks — a ~6x smaller
-        # top_k, lossless while hit-carrying block pairs <= Ph (asserted
-        # with margin by the budget-headroom test).
-        mt_rows = mt.reshape(Pb, _BLK * _BLK)
-        hit = jnp.any(mt_rows, axis=1)                  # [Pb]
+        # First compact the block pairs with >= 1 hit to `Ph`, then RECOMPUTE
+        # the 8x8 masks for just those pairs (cheap [Ph, 8, 8] math — a
+        # gather of the [Pb, 64] masks would materialize a batch-scaled f32
+        # copy) and run the big compaction over them — a ~7x smaller top_k,
+        # lossless while hit-carrying block pairs <= Ph (asserted with
+        # margin by the budget-headroom test).
+        hit = jnp.any(mt, axis=(1, 2))                  # [Pb]
         posH, validH = _compact(hit, Ph)
-        posH_f = posH.astype(fp32)
-        # f32-operand row gather (vector path, values are 0/1)
-        mt_h = mt_rows.astype(fp32)[posH]               # [Ph, 64]
-        mt_h = mt_h * validH[:, None].astype(fp32)
-        posT, validT = _compact(mt_h.reshape(-1) > 0.5, P)
+        bi_h_f = bi_f[posH]                             # [Ph] f32 gathers
+        bj_h_f = bj_f[posH]
+        mt_h = tri_mask(bi_h_f.astype(jnp.int32), bj_h_f.astype(jnp.int32),
+                        validH)                         # [Ph, 8, 8]
+        posT, validT = _compact(mt_h.reshape(-1), P)
         th = posT // (_BLK * _BLK)                      # index into Ph
         wt = posT % (_BLK * _BLK)
-        ti = posH_f[th].astype(jnp.int32)               # original pair index
-        ra_f = bi_f[ti] * _BLK + (wt // _BLK).astype(fp32)
-        rb_f = bj_f[ti] * _BLK + (wt % _BLK).astype(fp32)
+        ra_f = bi_h_f[th] * _BLK + (wt // _BLK).astype(fp32)
+        rb_f = bj_h_f[th] * _BLK + (wt % _BLK).astype(fp32)
         # map sorted (padded) ranks back to original face ids
         order_f = order.astype(fp32)
         idx_a = order_f[
