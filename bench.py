@@ -146,6 +146,10 @@ def main():
 
     model = jax.device_put(model)
     joints_model = jax.device_put(joints_model)
+    # Force true-sync dispatch mode: on the axon tunnel backend,
+    # block_until_ready does NOT actually wait until the process has made
+    # one device->host transfer; timing without this can read fake-fast.
+    np.asarray(jnp.zeros(()))
     # Compile + warmup.
     res = fit(model, joints_model, frames, x0)
     jax.block_until_ready(res.loss)

@@ -66,6 +66,10 @@ def run_mono(B, iters, aux_every, refresh):
         edge_idxs=jnp.asarray([[5, 12], [2, 9]]), joints_model=jm,
         collision_fn=collision_fn, coll_stage_mask=(False, True, True)))
     model = jax.device_put(model); joints_model = jax.device_put(joints_model)
+    # Force true-sync dispatch: on the axon tunnel backend block_until_ready
+    # does not actually wait until the process has performed one device->host
+    # transfer; without this, timings can read up to ~200x too fast.
+    _ = np.asarray(jnp.zeros(()))
     t0 = time.perf_counter()
     res = fit(model, joints_model, frames, x0)
     jax.block_until_ready(res.loss)
@@ -108,6 +112,7 @@ def run_split(B, iters, aux_every, refresh):
         collision_fn=collision_fn, coll_stage_mask=(True,)))
 
     model = jax.device_put(model); joints_model = jax.device_put(joints_model)
+    _ = np.asarray(jnp.zeros(()))  # true-sync dispatch mode (see run_mono)
 
     def one_round():
         times = []

@@ -125,6 +125,121 @@ def _cone_penalty_pairs(
 _BLK = 8  # triangles per block (broad-phase leaf)
 _SUP = 8  # blocks per superblock
 
+_SPLIT_L = 64   # hi/lo split for the one-hot matmul scatter (measured optimum)
+_GATHER_L = 32  # split for the one-hot matmul gather (smaller: tmp-bound)
+
+
+def _on_tpu() -> bool:
+    """True when the default backend is a TPU (incl. the axon tunnel).
+
+    The one-hot matmul gather/scatter below wins 1.6-6.2x on TPU, where
+    native gather/scatter serialize on the scalar core — but on CPU the
+    native ops are fast and the matmul form is pure overhead, so the
+    custom-VJP path is TPU-only.
+    """
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _gather_rows_mm(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """table [V, 3], ids [R] int -> table[ids] [R, 3] as matmuls.
+
+    Same two-level trick as `_scatter_add_mm`, transposed: the hi-level
+    one-hot contracts against the row-blocked table on the MXU, the
+    lo-level one-hot selects within the block on the VPU.  Bit-exact
+    (one-hot operand, Precision.HIGHEST) and measured 1.6x over the serial
+    native gather at collision-apply scale (5.3 ms vs 8.3 ms for
+    [32, 24576] rows from [10475, 3] on v5e).
+    """
+    L = _GATHER_L
+    V = table.shape[0]
+    H = -(-V // L)
+    R = ids.shape[0]
+    hi = ids // L
+    lo = ids % L
+    f32 = jnp.float32
+    oh_hi = (hi[:, None] == jnp.arange(H, dtype=ids.dtype)[None, :])
+    oh_lo = (lo[:, None] == jnp.arange(L, dtype=ids.dtype)[None, :])
+    vr = jnp.concatenate(
+        [table, jnp.zeros((H * L - V, 3), table.dtype)]).reshape(H, L * 3)
+    tmp = jnp.einsum(
+        "rh,hf->rf", oh_hi.astype(f32), vr,
+        preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.sum(tmp.reshape(R, L, 3) * oh_lo.astype(f32)[:, :, None],
+                   axis=1)
+
+
+def _scatter_add_mm(ids: jax.Array, g: jax.Array, num_rows: int) -> jax.Array:
+    """sum-scatter g [R, 3] into [num_rows, 3] at ids [R] — as matmuls.
+
+    A native TPU scatter-add executes on the SERIAL scalar core at ~41 ns
+    per row-lane (B=32 x 24576 rows = 34.5 ms/dispatch measured on v5e).
+    Rewriting it as a two-level one-hot contraction moves the work to the
+    VPU/MXU: with id = hi * L + lo,
+
+        tmp[r, lo*3 + c] = onehot_lo[r, lo] * g[r, c]      (VPU broadcast)
+        out[hi, lo*3+c]  = sum_r onehot_hi[r, hi] * tmp    (MXU)
+
+    Precision.HIGHEST on the contraction is mandatory AND free here: the
+    default bf16 MXU pass rounds g to ~1e-2 relative error (unusable for
+    gradients), while the f32 multi-pass path measures FASTER (5.5 ms vs
+    7.3 ms) because the kernel is bandwidth-bound on tmp, not FLOP-bound.
+    Measured 6.2x over the native scatter at collision-apply scale,
+    max-abs-err 2e-6 vs the serial reference.
+    """
+    L = _SPLIT_L
+    H = -(-num_rows // L)
+    R = ids.shape[0]
+    hi = ids // L
+    lo = ids % L
+    f32 = jnp.float32
+    oh_lo = (lo[:, None] == jnp.arange(L, dtype=ids.dtype)[None, :])
+    oh_hi = (hi[:, None] == jnp.arange(H, dtype=ids.dtype)[None, :])
+    tmp = (oh_lo.astype(f32)[:, :, None] * g[:, None, :]).reshape(R, L * 3)
+    out = jnp.einsum(
+        "rh,rf->hf", oh_hi.astype(f32), tmp,
+        preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(H * L, 3)[:num_rows]
+
+
+def _make_corner_gather(num_verts: int):
+    """vertices [V,3], va/vb [P,3] int -> (ta, tb) [P,3,3] with both
+    directions routed off the serial scalar core: the forward gather runs
+    through `_gather_rows_mm`, the cotangent scatter-add through
+    `_scatter_add_mm`.  TPU-only (`_on_tpu`); elsewhere the native
+    gather/scatter are already vectorized and faster."""
+    use_mm = _on_tpu()
+
+    @jax.custom_vjp
+    def gather(vertices, va, vb):
+        P = va.shape[0]
+        if not use_mm:
+            return vertices[va], vertices[vb]
+        ids = jnp.concatenate([va.reshape(-1), vb.reshape(-1)])
+        rows = _gather_rows_mm(vertices, ids).reshape(2, P, 3, 3)
+        return rows[0], rows[1]
+
+    def fwd(vertices, va, vb):
+        return gather(vertices, va, vb), (va, vb)
+
+    def bwd(res, ct):
+        va, vb = res
+        gta, gtb = ct
+        ids = jnp.concatenate([va.reshape(-1), vb.reshape(-1)])
+        g = jnp.concatenate([gta.reshape(-1, 3), gtb.reshape(-1, 3)])
+        if use_mm:
+            dv = _scatter_add_mm(ids, g, num_verts)
+        else:
+            dv = jnp.zeros((num_verts, 3), g.dtype).at[ids].add(g)
+        return dv, None, None
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
 
 def _interleave3(x: jax.Array) -> jax.Array:
     """Spread each of the low 10 bits of x to every 3rd bit (Morton)."""
@@ -207,7 +322,8 @@ def make_collision_fn(
 
     The returned callable exposes:
       .candidate_pairs(vertices) -> (idx_a [P], idx_b [P], valid [P])
-      .build(vertices)           -> aux (the pair list; no gradients)
+      .build(vertices)           -> aux (corner ids va/vb [P,3] + valid;
+         no gradients)
       .apply(vertices, aux)      -> penalty on a FIXED pair list, with a
          per-eval AABB recheck so separated pairs score zero.
     build/apply exist so the optimizer can refresh the broad phase once per
@@ -446,8 +562,14 @@ def make_collision_fn(
         return counts
 
     def build(vertices: jax.Array):
-        """Broad phase as reusable aux: the compacted pair list (ints)."""
-        return candidate_pairs(vertices)
+        """Broad phase as reusable aux: the compacted pair list, resolved
+        to corner VERTEX ids (va/vb [P, 3]) rather than face ids — the
+        face->corner lookup depends only on the pair list, so hoisting it
+        here removes two [P]-row gathers from every line-search eval."""
+        idx_a, idx_b, valid = candidate_pairs(vertices)
+        va = faces_f[idx_a].astype(jnp.int32)           # [P, 3]
+        vb = faces_f[idx_b].astype(jnp.int32)
+        return va, vb, valid
 
     def apply(vertices: jax.Array, aux) -> jax.Array:
         """Cone penalty on a fixed pair list; differentiable in vertices.
@@ -455,13 +577,13 @@ def make_collision_fn(
         Pairs are rechecked for AABB overlap at the CURRENT vertices so a
         stale list (refreshed once per optimizer iteration) never penalizes
         pairs that have separated since the refresh."""
-        idx_a, idx_b, valid = aux
-        # faces_f: f32 copy of the face table — an s32-operand gather runs
-        # on the TPU's serial scalar core, the f32 one on the VPU.
-        va = faces_f[idx_a].astype(jnp.int32)           # [P, 3]
-        vb = faces_f[idx_b].astype(jnp.int32)
-        ta = vertices[va]                               # [P, 3, 3]
-        tb = vertices[vb]
+        va, vb, valid = aux
+        # Corner gather with a custom VJP: on TPU the forward gather runs
+        # as a one-hot matmul (1.6x over the serial native gather) and the
+        # backward scatter-add as its transpose (_scatter_add_mm, 6.2x
+        # over XLA's native scatter, which serializes on the scalar core).
+        ta, tb = _make_corner_gather(vertices.shape[0])(
+            vertices, va, vb)                           # [P, 3, 3]
         ta_s = jax.lax.stop_gradient(ta)
         tb_s = jax.lax.stop_gradient(tb)
         live = valid
