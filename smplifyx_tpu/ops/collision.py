@@ -442,9 +442,13 @@ def make_collision_fn(
         sj_f = sj.astype(fp32)
 
         # ---- level 1: 8x8 block refinement ------------------------------
-        # All block-level arrays are laid out [ns, _SUP] so the per-pair
-        # fetches are ROW gathers indexed by si/sj (a scalar gather
-        # `bmin[:, k][ba]` is ~8x slower on TPU than the row form).
+        # Every per-block column (AABB min/max xyz, uniformity, part,
+        # parent) is PACKED into one [ns, _SUP * C] table so each side of a
+        # superblock pair costs ONE row gather.  Gathers serialize on the
+        # TPU scalar core at ~10 ns per ROW-lane with near-zero width
+        # sensitivity, so 12+ separate [Ps, 8] gathers cost 12x one packed
+        # [Ps, 8*C] gather — packing levels 1-2 this way took the B=32
+        # broad phase from 232 ms to (see docs/ARCHITECTURE.md).
         ba = si[:, None] * _SUP + jnp.arange(_SUP)[None, :]   # [Ps, 8]
         bb = sj[:, None] * _SUP + jnp.arange(_SUP)[None, :]
         mb = (validS[:, None, None]
@@ -455,43 +459,49 @@ def make_collision_fn(
             return jnp.concatenate(
                 [col, jnp.full((spad,), col[-1])]).reshape(ns, _SUP)
 
-        bmin_sup = [sup_rows(bmin[:, k]) for k in range(3)]
-        bmax_sup = [sup_rows(bmax[:, k]) for k in range(3)]
-        for k in range(3):
-            a_min = bmin_sup[k][si]                     # [Ps, 8] row gathers
-            a_max = bmax_sup[k][si]
-            b_min = bmin_sup[k][sj]
-            b_max = bmax_sup[k][sj]
-            mb &= (b_min[:, None, :] <= a_max[:, :, None]) \
-                & (b_max[:, None, :] >= a_min[:, :, None])
+        sup_cols = [sup_rows(bmin[:, k]) for k in range(3)] \
+            + [sup_rows(bmax[:, k]) for k in range(3)]
         if segm_j is not None:
-            ua = sup_rows(buni.astype(fp32))[si] > 0.5  # [Ps, 8]
-            ub = sup_rows(buni.astype(fp32))[sj] > 0.5
+            sup_cols += [sup_rows(buni.astype(fp32)),
+                         sup_rows(bseg.astype(fp32)),
+                         sup_rows(bpar.astype(fp32))]
+        sup_tab = jnp.stack(sup_cols, axis=-1)          # [ns, _SUP, C]
+        A = sup_tab[si]                                 # [Ps, 8, C] one gather
+        Bt = sup_tab[sj]
+        for k in range(3):
+            mb &= (Bt[:, None, :, k] <= A[:, :, None, 3 + k]) \
+                & (Bt[:, None, :, 3 + k] >= A[:, :, None, k])
+        if segm_j is not None:
+            ua = A[..., 6] > 0.5                        # [Ps, 8]
+            ub = Bt[..., 6] > 0.5
             dropb = (ua[:, :, None] & ub[:, None, :]) & rel_drop(
-                sup_rows(bseg.astype(fp32))[si][:, :, None],
-                sup_rows(bpar.astype(fp32))[si][:, :, None],
-                sup_rows(bseg.astype(fp32))[sj][:, None, :],
-                sup_rows(bpar.astype(fp32))[sj][:, None, :],
+                A[..., 7][:, :, None], A[..., 8][:, :, None],
+                Bt[..., 7][:, None, :], Bt[..., 8][:, None, :],
             )
             mb &= ~dropb
         posB, validB = _compact(mb.reshape(-1), Pb)
         pi = posB // (_SUP * _SUP)
         wb_ = posB % (_SUP * _SUP)
-        # Rebuild block ids arithmetically (index math + [Pb]-sized f32
-        # gathers of si/sj, not 2-D gathers into ba/bb).
-        bi_f = jnp.minimum(si_f[pi] * _SUP + (wb_ // _SUP).astype(fp32),
+        # Rebuild block ids arithmetically; si/sj are packed into one
+        # [Ps, 2] table so the [Pb]-row fetch is a single row gather
+        # (width-1 scalar gathers are the slowest gather form on TPU).
+        sij = jnp.stack([si_f, sj_f], axis=-1)          # [Ps, 2]
+        g = sij[pi]                                     # [Pb, 2] one gather
+        bi_f = jnp.minimum(g[:, 0] * _SUP + (wb_ // _SUP).astype(fp32),
                            nb - 1)
-        bj_f = jnp.minimum(sj_f[pi] * _SUP + (wb_ % _SUP).astype(fp32),
+        bj_f = jnp.minimum(g[:, 1] * _SUP + (wb_ % _SUP).astype(fp32),
                            nb - 1)
         bi = bi_f.astype(jnp.int32)
         bj = bj_f.astype(jnp.int32)
 
         # ---- level 2: 8x8 triangle refinement ---------------------------
-        amin_blk = [amin_s[:, k].reshape(nb, _BLK) for k in range(3)]
-        amax_blk = [amax_s[:, k].reshape(nb, _BLK) for k in range(3)]
+        # Same packing trick as level 1: one [nb, _BLK, C] table, one row
+        # gather per side per call.
+        blk_cols = [amin_s[:, k].reshape(nb, _BLK) for k in range(3)] \
+            + [amax_s[:, k].reshape(nb, _BLK) for k in range(3)]
         if segm_j is not None:
-            sgb_f = sgb.astype(fp32)
-            prb_f = prb.astype(fp32)
+            blk_cols += [sgb.astype(fp32), prb.astype(fp32)]
+        blk_tab = jnp.stack(blk_cols, axis=-1)          # [nb, _BLK, C]
 
         def tri_mask(bi_, bj_, valid_):
             """[N] block-pair ids -> [N, 8, 8] surviving triangle-pair mask
@@ -499,17 +509,15 @@ def make_collision_fn(
             ra_ = bi_[:, None] * _BLK + jnp.arange(_BLK)[None, :]
             rb_ = bj_[:, None] * _BLK + jnp.arange(_BLK)[None, :]
             m = valid_[:, None, None] & (ra_[:, :, None] < rb_[:, None, :])
+            A_ = blk_tab[bi_]                           # [N, 8, C] one gather
+            B_ = blk_tab[bj_]
             for k in range(3):
-                a_min = amin_blk[k][bi_]                # [N, 8] row gathers
-                a_max = amax_blk[k][bi_]
-                b_min = amin_blk[k][bj_]
-                b_max = amax_blk[k][bj_]
-                m &= (b_min[:, None, :] <= a_max[:, :, None]) \
-                    & (b_max[:, None, :] >= a_min[:, :, None])
+                m &= (B_[:, None, :, k] <= A_[:, :, None, 3 + k]) \
+                    & (B_[:, None, :, 3 + k] >= A_[:, :, None, k])
             if segm_j is not None:
                 m &= ~rel_drop(
-                    sgb_f[bi_][:, :, None], prb_f[bi_][:, :, None],
-                    sgb_f[bj_][:, None, :], prb_f[bj_][:, None, :],
+                    A_[..., 6][:, :, None], A_[..., 7][:, :, None],
+                    B_[..., 6][:, None, :], B_[..., 7][:, None, :],
                 )
             return m
 
@@ -528,21 +536,24 @@ def make_collision_fn(
         # margin by the budget-headroom test).
         hit = jnp.any(mt, axis=(1, 2))                  # [Pb]
         posH, validH = _compact(hit, Ph)
-        bi_h_f = bi_f[posH]                             # [Ph] f32 gathers
-        bj_h_f = bj_f[posH]
+        bij = jnp.stack([bi_f, bj_f], axis=-1)          # [Pb, 2]
+        gh = bij[posH]                                  # [Ph, 2] one gather
+        bi_h_f = gh[:, 0]
+        bj_h_f = gh[:, 1]
         mt_h = tri_mask(bi_h_f.astype(jnp.int32), bj_h_f.astype(jnp.int32),
                         validH)                         # [Ph, 8, 8]
         posT, validT = _compact(mt_h.reshape(-1), P)
         th = posT // (_BLK * _BLK)                      # index into Ph
         wt = posT % (_BLK * _BLK)
-        ra_f = bi_h_f[th] * _BLK + (wt // _BLK).astype(fp32)
-        rb_f = bj_h_f[th] * _BLK + (wt % _BLK).astype(fp32)
-        # map sorted (padded) ranks back to original face ids
+        gt = jnp.stack([bi_h_f, bj_h_f], axis=-1)[th]   # [P, 2] one gather
+        ra_f = gt[:, 0] * _BLK + (wt // _BLK).astype(fp32)
+        rb_f = gt[:, 1] * _BLK + (wt % _BLK).astype(fp32)
+        # map sorted (padded) ranks back to original face ids, one gather
         order_f = order.astype(fp32)
-        idx_a = order_f[
-            jnp.minimum(ra_f, F - 1).astype(jnp.int32)].astype(jnp.int32)
-        idx_b = order_f[
-            jnp.minimum(rb_f, F - 1).astype(jnp.int32)].astype(jnp.int32)
+        rr = jnp.minimum(jnp.concatenate([ra_f, rb_f]), F - 1)
+        oo = order_f[rr.astype(jnp.int32)].astype(jnp.int32)  # [2P]
+        idx_a = oo[:P]
+        idx_b = oo[P:]
         if return_counts:
             counts = {
                 "superblock": (jnp.sum(ms), Ps),
@@ -567,9 +578,8 @@ def make_collision_fn(
         face->corner lookup depends only on the pair list, so hoisting it
         here removes two [P]-row gathers from every line-search eval."""
         idx_a, idx_b, valid = candidate_pairs(vertices)
-        va = faces_f[idx_a].astype(jnp.int32)           # [P, 3]
-        vb = faces_f[idx_b].astype(jnp.int32)
-        return va, vb, valid
+        vv = faces_f[jnp.concatenate([idx_a, idx_b])].astype(jnp.int32)
+        return vv[: idx_a.shape[0]], vv[idx_a.shape[0]:], valid  # [P, 3] x2
 
     def apply(vertices: jax.Array, aux) -> jax.Array:
         """Cone penalty on a fixed pair list; differentiable in vertices.

@@ -65,6 +65,7 @@ def main(B):
 
     model = jax.device_put(model)
     joints_model = jax.device_put(joints_model)
+    _ = np.asarray(jnp.zeros(()))  # force true-sync dispatch mode
 
     def verts_of(x):
         params, _, _ = body_params_from_flat(settings, x[None], lambda b: b)
