@@ -286,6 +286,7 @@ def make_collision_fn(
     # test_collision_oracle's budget-headroom audit).
     max_block_pairs: int = 28672,
     max_sup_pairs: int = 8192,
+    max_hit_sup_pairs: int = 4096,
     max_hit_pairs: int = 4096,
     sigma: float = 1e-4,
     penalize_outside: bool = True,
@@ -303,8 +304,10 @@ def make_collision_fn(
          `max_sup_pairs`;
       1. 8x8 block refinement on surviving superblock pairs, plus a
          conservative block-level part filter (blocks uniform in
-         segm/parents drop exactly when every contained pair would drop)
-         -> compact to `max_block_pairs`;
+         segm/parents drop exactly when every contained pair would drop);
+         two-stage compaction: hit-carrying superblock pairs first
+         (`max_hit_sup_pairs`), then their recomputed 8x8 masks
+         -> `max_block_pairs`;
       2. 8x8 triangle refinement with the exact FilterFaces part test
          (same part, parent part, configured ignore list; schema of
          smplx_parts_segm.pkl) -> compact to `max_pairs`.
@@ -345,7 +348,8 @@ def make_collision_fn(
     ns = -(-nb // _SUP)
     nbp = ns * _SUP
     Ps = min(max_sup_pairs, ns * ns)
-    Pb = min(max_block_pairs, Ps * _SUP * _SUP)
+    Phs = min(max_hit_sup_pairs, Ps)
+    Pb = min(max_block_pairs, Phs * _SUP * _SUP)
     Ph = min(max_hit_pairs, Pb)
     P = min(max_pairs, Ph * _BLK * _BLK)
 
@@ -449,12 +453,6 @@ def make_collision_fn(
         # sensitivity, so 12+ separate [Ps, 8] gathers cost 12x one packed
         # [Ps, 8*C] gather — packing levels 1-2 this way took the B=32
         # broad phase from 232 ms to (see docs/ARCHITECTURE.md).
-        ba = si[:, None] * _SUP + jnp.arange(_SUP)[None, :]   # [Ps, 8]
-        bb = sj[:, None] * _SUP + jnp.arange(_SUP)[None, :]
-        mb = (validS[:, None, None]
-              & (ba[:, :, None] <= bb[:, None, :])
-              & (ba < nb)[:, :, None] & (bb < nb)[:, None, :])
-
         def sup_rows(col):                              # [nb] -> [ns, _SUP]
             return jnp.concatenate(
                 [col, jnp.full((spad,), col[-1])]).reshape(ns, _SUP)
@@ -466,27 +464,52 @@ def make_collision_fn(
                          sup_rows(bseg.astype(fp32)),
                          sup_rows(bpar.astype(fp32))]
         sup_tab = jnp.stack(sup_cols, axis=-1)          # [ns, _SUP, C]
-        A = sup_tab[si]                                 # [Ps, 8, C] one gather
-        Bt = sup_tab[sj]
-        for k in range(3):
-            mb &= (Bt[:, None, :, k] <= A[:, :, None, 3 + k]) \
-                & (Bt[:, None, :, 3 + k] >= A[:, :, None, k])
-        if segm_j is not None:
-            ua = A[..., 6] > 0.5                        # [Ps, 8]
-            ub = Bt[..., 6] > 0.5
-            dropb = (ua[:, :, None] & ub[:, None, :]) & rel_drop(
-                A[..., 7][:, :, None], A[..., 8][:, :, None],
-                Bt[..., 7][:, None, :], Bt[..., 8][:, None, :],
-            )
-            mb &= ~dropb
-        posB, validB = _compact(mb.reshape(-1), Pb)
+
+        def blk_mask(si_, sj_, valid_):
+            """[N] superblock-pair ids -> [N, 8, 8] surviving block-pair
+            mask (AABB overlap, rank order, conservative uniform-part
+            filter).  One packed row gather per pair side."""
+            ba_ = si_[:, None] * _SUP + jnp.arange(_SUP)[None, :]  # [N, 8]
+            bb_ = sj_[:, None] * _SUP + jnp.arange(_SUP)[None, :]
+            m = (valid_[:, None, None]
+                 & (ba_[:, :, None] <= bb_[:, None, :])
+                 & (ba_ < nb)[:, :, None] & (bb_ < nb)[:, None, :])
+            A_ = sup_tab[si_]                           # [N, 8, C]
+            B_ = sup_tab[sj_]
+            for k in range(3):
+                m &= (B_[:, None, :, k] <= A_[:, :, None, 3 + k]) \
+                    & (B_[:, None, :, 3 + k] >= A_[:, :, None, k])
+            if segm_j is not None:
+                ua = A_[..., 6] > 0.5                   # [N, 8]
+                ub = B_[..., 6] > 0.5
+                dropb = (ua[:, :, None] & ub[:, None, :]) & rel_drop(
+                    A_[..., 7][:, :, None], A_[..., 8][:, :, None],
+                    B_[..., 7][:, None, :], B_[..., 8][:, None, :],
+                )
+                m &= ~dropb
+            return m
+
+        mb = blk_mask(si, sj, validS)                   # [Ps, 8, 8]
+
+        # Two-stage compaction (same trick as the final level): superblock
+        # pairs CARRYING a surviving block pair are far rarer than block
+        # slots, so compact those rows first and recompute their 8x8 masks
+        # — the expensive top_k then runs over [Phs * 64] instead of
+        # [Ps * 64] elements (half the size at the defaults).
+        hit_s = jnp.any(mb, axis=(1, 2))                # [Ps]
+        posHS, validHS = _compact(hit_s, Phs)
+        sij = jnp.stack([si_f, sj_f], axis=-1)          # [Ps, 2]
+        g_hs = sij[posHS]                               # [Phs, 2] one gather
+        si_h = g_hs[:, 0].astype(jnp.int32)
+        sj_h = g_hs[:, 1].astype(jnp.int32)
+        mb_h = blk_mask(si_h, sj_h, validHS)            # [Phs, 8, 8]
+        posB, validB = _compact(mb_h.reshape(-1), Pb)
         pi = posB // (_SUP * _SUP)
         wb_ = posB % (_SUP * _SUP)
-        # Rebuild block ids arithmetically; si/sj are packed into one
-        # [Ps, 2] table so the [Pb]-row fetch is a single row gather
-        # (width-1 scalar gathers are the slowest gather form on TPU).
-        sij = jnp.stack([si_f, sj_f], axis=-1)          # [Ps, 2]
-        g = sij[pi]                                     # [Pb, 2] one gather
+        # Rebuild block ids arithmetically; si/sj packed as rows so the
+        # [Pb]-row fetch is one row gather (width-1 scalar gathers are the
+        # slowest gather form on TPU).
+        g = g_hs[pi]                                    # [Pb, 2] one gather
         bi_f = jnp.minimum(g[:, 0] * _SUP + (wb_ // _SUP).astype(fp32),
                            nb - 1)
         bj_f = jnp.minimum(g[:, 1] * _SUP + (wb_ % _SUP).astype(fp32),
@@ -557,6 +580,7 @@ def make_collision_fn(
         if return_counts:
             counts = {
                 "superblock": (jnp.sum(ms), Ps),
+                "hit_superblock": (jnp.sum(hit_s), Phs),
                 "block": (jnp.sum(mb), Pb),
                 "hit": (jnp.sum(hit), Ph),
                 "final": (jnp.sum(mt), P),
