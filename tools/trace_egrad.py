@@ -35,6 +35,7 @@ def main(B):
     from smplifyx_tpu.ops.collision import make_collision_fn, synthetic_part_segm
 
     model, settings, frames, x0, joint_map = bench.build_problem(B)
+    settings = settings.replace(interpenetration=True)
     joints_model = build_joints_model(model)
     rng = np.random.default_rng(7)
     F = 20908
