@@ -73,9 +73,18 @@ def homogenus_classifier(inferer) -> GenderClassifier:
     """
 
     def classify(record: FrameRecord) -> str:
-        keyp = record.keyp_path or record.img_path
+        if record.keyp_path is None:
+            # Fail loudly rather than silently feeding the image path as the
+            # keypoint JSON path (the exact reference-API misuse this module
+            # exists to avoid).
+            raise ValueError(
+                "homogenus_classifier needs FrameRecord.keyp_path (the "
+                f"keypoint JSON path) but it is None for {record.img_path}; "
+                "construct records through the dataset reader or set "
+                "keyp_path explicitly."
+            )
         return inferer.predict_gender_one_img(
-            img_dir=record.img_path, keypoints_dir=keyp
+            img_dir=record.img_path, keypoints_dir=record.keyp_path
         )
 
     return classify

@@ -56,8 +56,15 @@ def minimize_first_order(
         done: jax.Array
         converged: jax.Array
 
+    # where, NOT g * mask: a frozen coordinate's objective gradient may be
+    # NaN/Inf (degenerate frozen input) and NaN * 0 is NaN — the same leak
+    # lbfgs.py::apply_mask guards against; a leaked NaN here poisons the
+    # optax update, masks to NaN again, and halts the loop at iteration 1.
+    def apply_mask(g):
+        return jnp.where(mask > 0, g, 0.0)
+
     f0, g0 = vg(x0)
-    g0 = g0 * mask
+    g0 = apply_mask(g0)
     init = S(x=x0, opt_state=optimizer.init(x0), f=f0, g=g0,
              it=jnp.asarray(0, jnp.int32),
              done=~jnp.isfinite(f0), converged=jnp.asarray(False))
@@ -67,9 +74,12 @@ def minimize_first_order(
 
     def body(s: S) -> S:
         updates, opt_state = optimizer.update(s.g, s.opt_state, s.x)
-        x_new = optax.apply_updates(s.x, updates * mask if isinstance(updates, jax.Array) else updates)
+        x_new = optax.apply_updates(
+            s.x,
+            apply_mask(updates) if isinstance(updates, jax.Array) else updates,
+        )
         f_new, g_new = vg(x_new)
-        g_new = g_new * mask
+        g_new = apply_mask(g_new)
         non_finite = ~jnp.isfinite(f_new)
         rel = (s.f - f_new) / jnp.maximum(
             jnp.maximum(jnp.abs(s.f), jnp.abs(f_new)), 1.0

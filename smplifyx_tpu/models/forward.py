@@ -168,11 +168,14 @@ def _head_yaw_bucket(rot_mats: jax.Array, neck_chain, num_buckets: int) -> jax.A
     R = jnp.broadcast_to(jnp.eye(3, dtype=rot_mats.dtype), (B, 3, 3))
     for idx in neck_chain:
         R = rot_mats[:, int(idx)] @ R
-    # yaw = -asin(R[2,0]) via atan2 (identical for orthonormal R); the
-    # bucket key is round(clamp(deg(yaw), max=39)) exactly as in smplx's
-    # find_dynamic_lmk_idx_and_bcoords.
+    # smplx's bucket key is -rot_mat_to_euler(R) where rot_mat_to_euler
+    # returns atan2(-R[2,0], sy); negating gives atan2(+R[2,0], sy)
+    # (= +asin(R[2,0]) for orthonormal R).  The key is then
+    # round(clamp(deg(key), max=39)) exactly as in smplx's
+    # find_dynamic_lmk_idx_and_bcoords.  (A sign flip here mirrors the
+    # contour tables left/right for every nonzero head yaw.)
     yaw = jnp.arctan2(
-        -R[:, 2, 0], jnp.sqrt(R[:, 0, 0] ** 2 + R[:, 1, 0] ** 2)
+        R[:, 2, 0], jnp.sqrt(R[:, 0, 0] ** 2 + R[:, 1, 0] ** 2)
     )
     deg = jnp.round(jnp.clip(yaw * (180.0 / jnp.pi), max=39.0)).astype(jnp.int32)
     neg = deg < 0

@@ -5,11 +5,12 @@ from smplifyx_tpu.data.gender import resolve_gender, group_by_gender
 from smplifyx_tpu.data.keypoints import FrameRecord
 
 
-def rec(name, gt=None, pd=None):
+def rec(name, gt=None, pd=None, keyp_path=None):
     return FrameRecord(
         fn=name, img_path=name + ".jpg",
         keypoints=np.zeros((1, 135, 3), np.float32), img_size=(10, 10),
         gender_gt=gt or [], gender_pd=pd or [],
+        keyp_path=keyp_path,
     )
 
 
@@ -79,4 +80,19 @@ class TestHomogenusHook:
         classify = homogenus_classifier(FakeInferer())
         assert resolve_gender(rec("a", gt=["female"]),
                               classifier=classify) == "female"
-        assert resolve_gender(rec("a"), classifier=classify) == "male"
+        assert resolve_gender(
+            rec("a", keyp_path="a_keypoints.json"), classifier=classify
+        ) == "male"
+
+    def test_missing_keyp_path_fails_loudly(self):
+        """A record without keyp_path must raise, not silently feed the
+        image path to Homogenus as the keypoint JSON path."""
+        from smplifyx_tpu.data.gender import homogenus_classifier
+
+        class FakeInferer:
+            def predict_gender_one_img(self, img_dir, keypoints_dir):
+                return "male"
+
+        classify = homogenus_classifier(FakeInferer())
+        with pytest.raises(ValueError, match="keyp_path"):
+            classify(rec("a"))

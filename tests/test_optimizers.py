@@ -34,6 +34,24 @@ class TestFactory:
         assert abs(x[1]) < 1e-8
         np.testing.assert_allclose(x[[0, 2]], 3.0, atol=0.05)
 
+    def test_nan_gradient_in_frozen_coords_cannot_leak(self):
+        """Same regression as test_lbfgs.py::TestMaskedNaNGradient, for the
+        first-order path: the objective's gradient w.r.t. FROZEN coordinates
+        may be NaN (norm() at a degenerate frozen point); masking must zero
+        it with `where`, not multiplication (g * mask keeps NaN, poisons the
+        optax update, and halts the loop at iteration 1 returning x0)."""
+        def fun(x):
+            return (x[0] - 3.0) ** 2 + jnp.linalg.norm(x[1:])
+
+        for name, lr in (("adam", 0.1), ("sgd", 0.05), ("rmsprop", 0.05)):
+            m = create_minimizer(name, lr=lr, max_iters=2000, ftol=0.0)
+            res = m(fun, jnp.zeros(3, jnp.float32),  # norm grad at 0: 0/0
+                    jnp.asarray([1.0, 0.0, 0.0]))
+            x = np.asarray(res.x)
+            assert np.isfinite(x).all(), (name, x)
+            np.testing.assert_allclose(x[0], 3.0, atol=0.05, err_msg=name)
+            np.testing.assert_array_equal(x[1:], 0.0, err_msg=name)
+
     def test_vmap(self):
         m = create_minimizer("adam", lr=0.2, max_iters=500, ftol=0.0)
         targets = jnp.asarray([[1.0, 2.0], [3.0, -1.0]])

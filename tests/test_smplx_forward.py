@@ -215,3 +215,32 @@ class TestModelFamilies:
         jm = model_to_annotation("smpl", False, False, False, "coco25")
         assert len(jm) == 25
         assert jm.max() <= 34  # 24 joints + 11 extras
+
+
+class TestHeadYawBucket:
+    """Pin the dynamic-contour bucket key to the smplx package convention.
+
+    smplx (lbs.find_dynamic_lmk_idx_and_bcoords): key = -rot_mat_to_euler(R)
+    where rot_mat_to_euler = atan2(-R[2,0], sy), i.e. key = atan2(+R[2,0],
+    sy).  A sign flip mirrors the contour tables left/right for every
+    nonzero head yaw — these hardcoded expectations catch it directly
+    (a differential oracle can re-implement the same flip and pass)."""
+
+    def test_known_yaws(self):
+        from smplifyx_tpu.models.forward import _head_yaw_bucket
+
+        def ry(deg):
+            t = np.deg2rad(deg)
+            c, s = np.cos(t), np.sin(t)
+            return np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+        # R[2,0] = -sin(theta) for Ry(theta) => key_deg = -theta:
+        #   theta=+20 -> key=-20 -> 39 - (-20) = 59
+        #   theta=-20 -> key=+20 -> 20
+        #   theta=+50 -> key=-50 < -39     -> 78
+        #   theta=-50 -> key=+50 clamp->39 -> 39
+        thetas = [0.0, 20.0, -20.0, 50.0, -50.0]
+        expected = [0, 59, 20, 78, 39]
+        rot = jnp.asarray(np.stack([ry(t) for t in thetas])[:, None])
+        buckets = _head_yaw_bucket(rot, neck_chain=(0,), num_buckets=79)
+        np.testing.assert_array_equal(np.asarray(buckets), expected)

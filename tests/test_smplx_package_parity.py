@@ -165,8 +165,13 @@ class SMPLXOracle:
         rel = torch.eye(3, dtype=full_pose_aa.dtype).expand(B, 3, 3).clone()
         for idx in range(len(self.NECK_CHAIN)):
             rel = torch.bmm(rot_mats[:, idx], rel)
+        # smplx: key = -rot_mat_to_euler(rel), rot_mat_to_euler = atan2(
+        # -rel[2,0], sy) => key = atan2(+rel[2,0], sy).  (An earlier oracle
+        # used -asin(rel[2,0]) — the same sign flip as the bug it was meant
+        # to catch.)
+        sy = torch.sqrt(rel[:, 0, 0] ** 2 + rel[:, 1, 0] ** 2)
         y_deg = torch.clamp(
-            -torch.rad2deg(torch.asin(rel[:, 2, 0])), max=39.0
+            torch.rad2deg(torch.atan2(rel[:, 2, 0], sy)), max=39.0
         ).round().to(torch.long)
         neg = y_deg.lt(0).to(torch.long)
         big_neg = y_deg.lt(-39).to(torch.long)
