@@ -56,34 +56,22 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
     from smplifyx_tpu.data.regressors import (
         build_regression_prior, load_expose, load_pare, load_pixie,
     )
-    from smplifyx_tpu.fitting.lbfgs import LBFGSConfig
-    from smplifyx_tpu.fitting.pipeline import FitOptions, fit_batch, recover_outputs
-    from smplifyx_tpu.fitting.prepare import prepare_batch, settings_from_config
-    from smplifyx_tpu.fitting.stages import build_stage_schedule
-    from smplifyx_tpu.models.bodymodel import load_body_model
-    from smplifyx_tpu.models.joint_mapping import (
-        model_to_annotation, SHOULDER_IDXS_BY_FORMAT,
-    )
-    from smplifyx_tpu.ops.collision import load_part_segm, make_collision_fn
-    from smplifyx_tpu.priors.priors import load_gmm_pickle
+    from smplifyx_tpu.fitting.pipeline import recover_outputs
+    from smplifyx_tpu.fitting.prepare import prepare_batch
+    from smplifyx_tpu.session import build_fit_session
     from smplifyx_tpu.utils.io import save_result_pickle, write_ply, write_obj
     from smplifyx_tpu.fitting.params import unpack
 
     t_start = time.time()
 
-    # --- config validation of knobs that gate unsupported paths
-    if cfg.float_dtype != "float32":
-        # The reference's float64 selector is dead, buggy code
-        # (main.py:77-84 maps float32 -> float64 and is overridden at
-        # :99-105); this framework is f32-only by design (TPU MXU/bf16).
-        raise NotImplementedError(
-            f"float_dtype={cfg.float_dtype!r}: only float32 is supported"
-        )
-    if cfg.camera_type != "persp":
-        raise NotImplementedError(
-            f"camera_type={cfg.camera_type!r}: only 'persp' is supported "
-            "(matching reference create_camera, camera.py:35-40)"
-        )
+    # --- session: validation, models, priors, schedule, jitted program
+    # (shared with the serving path; see smplifyx_tpu/session.py)
+    sess = build_fit_session(cfg, model=model)
+    settings = sess.settings
+    vposer = sess.vposer
+    gmm = sess.gmm
+    decode_body = sess.decode_body
+    get_model = sess.get_model
 
     # --- output dirs (wipe + conf dump, reference main.py:52-75)
     out = osp.expandvars(cfg.output_folder)
@@ -119,94 +107,6 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
         records, default=cfg.gender, classifier=classifier
     )
 
-    # --- model loading, one per gender present in the data
-    settings = settings_from_config(cfg)
-
-    def get_model(gender: str):
-        if model is not None:
-            return model  # explicit override (tests / synthetic runs)
-        if cfg.synthetic_model:
-            from smplifyx_tpu.models.bodymodel import synthetic_model
-
-            return synthetic_model(
-                num_verts=cfg.synthetic_num_verts,
-                num_betas=cfg.num_betas,
-                num_expression_coeffs=cfg.num_expression_coeffs,
-                num_pca_comps=cfg.num_pca_comps,
-                model_type=cfg.model_type,
-            )
-        # {model_folder}/{family}/{FAMILY}_{GENDER}.{npz|pkl}, the layout
-        # smplx.create resolves in the reference (main.py:109-127).
-        stem = osp.join(
-            cfg.model_folder, cfg.model_type,
-            f"{cfg.model_type.upper()}_{gender.upper()}",
-        )
-        path = next(
-            (p for p in (stem + ".npz", stem + ".pkl") if osp.exists(p)),
-            stem + ".npz",
-        )
-        return load_body_model(
-            path, cfg.model_type, num_betas=cfg.num_betas,
-            num_expression_coeffs=cfg.num_expression_coeffs,
-            num_pca_comps=cfg.num_pca_comps,
-        )
-
-    joint_map = jnp.asarray(model_to_annotation(
-        cfg.model_type, cfg.use_hands, cfg.use_face, cfg.use_face_contour,
-        cfg.format,
-    ))
-
-    # --- priors
-    gmm = None
-    if cfg.body_prior_type == "gmm":
-        gmm = load_gmm_pickle(
-            osp.join(cfg.prior_folder, f"gmm_{cfg.num_gaussians:02d}.pkl")
-        )
-    # Hand GMM priors over the PCA coefficients: the reference keys their
-    # mixture size to num_pca_comps (main.py:148-164, gmm_{num_pca:02d}.pkl).
-    from smplifyx_tpu.fitting.prepare import _norm_prior
-
-    def _hand_gmm(prior_type):
-        if _norm_prior(prior_type) != "gmm":
-            return None
-        path = osp.join(cfg.prior_folder, f"gmm_{cfg.num_pca_comps:02d}.pkl")
-        prior = load_gmm_pickle(path)
-        dim = prior.means.shape[-1]
-        if dim != cfg.num_pca_comps:
-            # The shipped reference priors are BODY-pose GMMs keyed by
-            # num_gaussians (gmm_08.pkl = 8 components over 69 dims); a
-            # num_pca_comps filename collision (e.g. 8) would otherwise
-            # trace a 69-dim mixture against 12-dim hand coefficients and
-            # die with an opaque shape error mid-jit.
-            raise ValueError(
-                f"hand GMM prior {path} models {dim}-dim poses but "
-                f"num_pca_comps={cfg.num_pca_comps}; no compatible public "
-                "artifact ships with the reference — use an 'l2' hand "
-                "prior or provide a hand-PCA GMM with matching dimension"
-            )
-        return prior
-
-    lhand_gmm = _hand_gmm(cfg.left_hand_prior_type)
-    rhand_gmm = _hand_gmm(cfg.right_hand_prior_type)
-    vposer = None
-    decode_body = lambda b: b
-    if cfg.use_vposer:
-        if str(cfg.vposer_ckpt).lower() in ("", "synthetic"):
-            # Licensed-artifact escape hatch, like synthetic_model: random
-            # decoder weights exercise the full latent-optimization path.
-            from smplifyx_tpu.models.vposer import VPoser, random_params
-
-            vposer = VPoser(random_params(0))
-        else:
-            from smplifyx_tpu.models.vposer import load_vposer
-
-            vposer = load_vposer(cfg.vposer_ckpt)
-        decode_body = vposer.decode
-
-    segm = parents = None
-    if cfg.interpenetration and cfg.part_segm_fn:
-        segm, parents = load_part_segm(osp.expandvars(cfg.part_segm_fn))
-
     def load_regression(group_records):
         if not cfg.regression_prior:
             return None
@@ -227,84 +127,18 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
             ))
         return out
 
-    schedule = build_stage_schedule(
-        cfg.body_pose_prior_weights, cfg.shape_weights, cfg.expr_weights,
-        cfg.hand_pose_prior_weights, cfg.jaw_pose_prior_weights,
-        cfg.hand_joints_weights, cfg.face_joints_weights,
-        cfg.coll_loss_weights,
-    )
-    ls, rs = SHOULDER_IDXS_BY_FORMAT[cfg.format.lower()]
-    # Reference budget: maxiters outer x maxiters inner with ftol/gtol early
-    # exit; one flat budget here (overridable via lbfgs_iters_per_stage).
-    lbfgs_iters = cfg.lbfgs_iters_per_stage or cfg.maxiters * 5
-    options = FitOptions(
-        lbfgs=LBFGSConfig(
-            max_iters=lbfgs_iters, history=cfg.history_size,
-            max_ls=cfg.max_line_search, lr=cfg.lr,
-            ftol=cfg.ftol, gtol=cfg.gtol,
-            aux_every=cfg.coll_broad_every,
-        ),
-        camera_lbfgs=LBFGSConfig(
-            max_iters=cfg.maxiters * 2, history=8, lr=cfg.lr,
-            ftol=cfg.ftol, gtol=cfg.gtol,
-        ),
-        optim_type=cfg.optim_type,
-        try_both_orient=True,
-        side_view_thsh=cfg.side_view_thsh,
-        left_shoulder_idx=ls, right_shoulder_idx=rs,
-        use_camera_prior=cfg.use_camera_prior and bool(cfg.regression_prior),
-    )
-    edge_idxs = jnp.asarray(cfg.body_tri_pairs)
-
     # --- fit, one batch per gender group
     all_names, all_losses, result_files, mesh_files = [], [], [], []
     total_real = 0
     from smplifyx_tpu.fitting.prepare import pad_prepared
     from smplifyx_tpu.models.sparse import build_joints_model
 
-    coll_stage_mask = None
-    if cfg.interpenetration:
-        weights = cfg.coll_loss_weights or [0.0] * cfg.num_stages
-        coll_stage_mask = tuple(float(v) > 0 for v in weights)
-
-    # ONE jitted pipeline shared by every gender group: the model is an
-    # argument, so groups with equal (bucketed) batch sizes reuse the same
-    # executable instead of paying a recompile per gender.  The collision
-    # tables are built from the first group's faces — the gendered SMPL-X
-    # models share mesh topology, which this relies on.
-    collision_fn = None
-    fitted = None
-
-    def make_fitted(first_model):
-        nonlocal collision_fn
-        if cfg.interpenetration:
-            # window/max_pairs are oracle-calibrated (test_collision_oracle);
-            # the narrow-phase budget honors at least the reference's
-            # max_collisions (fit_single_frame.py:300-328, default 128).
-            collision_fn = make_collision_fn(
-                first_model.faces, segm=segm, parents=parents,
-                ign_part_pairs=cfg.ign_part_pairs,
-                window=cfg.collision_window,
-                max_pairs=max(cfg.max_coll_pairs, cfg.max_collisions),
-                sigma=cfg.df_cone_height,
-                penalize_outside=cfg.penalize_outside,
-                point2plane=cfg.point2plane,
-            )
-        return jax.jit(
-            lambda model, joints_model, frames, x0: fit_batch(
-                model, settings, options, schedule, frames, x0,
-                decode_body, joint_map, gmm=gmm, edge_idxs=edge_idxs,
-                collision_fn=collision_fn, joints_model=joints_model,
-                coll_stage_mask=coll_stage_mask,
-                lhand_gmm=lhand_gmm, rhand_gmm=rhand_gmm,
-            )
-        )
-
+    # ONE jitted pipeline shared by every gender group (sess.fit): the
+    # model is an argument, so groups with equal (bucketed) batch sizes
+    # reuse the same executable instead of paying a recompile per gender.
     for gender, group_records in sorted(gender_groups.items()):
         group_model = jax.device_put(get_model(gender))
         joints_model = jax.device_put(build_joints_model(group_model))
-        if fitted is None:
-            fitted = make_fitted(group_model)
 
         batch = prepare_batch(
             cfg, group_records, dataset.get_joint_weights(),
@@ -330,8 +164,8 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
         bucket = 1 << (target - 1).bit_length()   # next power of two
         batch = pad_prepared(batch, bucket)
 
-        res = fitted(group_model, joints_model, batch.frames,
-                     jnp.asarray(batch.x0))
+        res = sess.fit(group_model, joints_model, batch.frames,
+                       jnp.asarray(batch.x0))
         out_fwd, params, cam_t = recover_outputs(
             group_model, settings, res.x, decode_body, joint_map=None
         )

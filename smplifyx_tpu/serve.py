@@ -1,0 +1,314 @@
+"""Persistent batching fit service — the production-serving counterpart of
+the one-shot app driver.
+
+The reference has no serving story (one process, one image, one fit:
+main.py:207's serial loop); on TPU the economics invert — a compiled
+batched program amortizes dispatch and the chip is fastest at batch — so
+the natural deployment is a resident service that coalesces concurrent
+requests into micro-batches:
+
+  * `FitService` owns a `FitSession` (smplifyx_tpu/session.py: models,
+    priors, schedule, ONE jitted program) and a worker thread; `submit()`
+    enqueues a `FrameRecord` and returns a `concurrent.futures.Future`.
+  * The worker drains the queue up to `max_batch` or `max_wait_s`
+    (whichever first), groups by resolved gender, pads each group to a
+    power-of-two bucket (compiled executables are reused across calls,
+    exactly like the app's gender loop), fits, and resolves futures with
+    per-frame results.
+  * `serve_http` wraps a service in a stdlib ThreadingHTTPServer:
+    POST /fit with an OpenPose-style JSON body -> fitted parameters;
+    GET /healthz for liveness. No external dependencies.
+
+Throughput = the bench numbers (131 frames/s/chip collision-off at
+B=128); latency = one bucket fit (~0.25 s at small buckets) + coalescing
+wait, so `max_wait_s` is the knob trading latency for batch efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from smplifyx_tpu.data.keypoints import FrameRecord
+from smplifyx_tpu.session import FitSession, build_fit_session
+from smplifyx_tpu.utils.config import Config
+
+
+@dataclass
+class FitRequest:
+    record: FrameRecord
+    future: Future = field(default_factory=Future)
+    gender: Optional[str] = None  # explicit override of resolution chain
+
+
+class FitService:
+    """Micro-batching fit executor over a persistent FitSession."""
+
+    def __init__(
+        self,
+        session: FitSession,
+        max_batch: int = 32,
+        max_wait_s: float = 0.25,
+        include_vertices: bool = False,
+        default_gender: Optional[str] = None,
+    ):
+        self.session = session
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_s)
+        self.include_vertices = include_vertices
+        self.default_gender = default_gender or session.cfg.gender
+        self._queue: "queue.Queue[Optional[FitRequest]]" = queue.Queue()
+        self._models = {}          # gender -> (device model, joints model)
+        self._joint_weights = session.joint_weights()
+        self._lock = threading.Lock()
+        self.fits_completed = 0
+        self.batches_dispatched = 0
+        self._worker = threading.Thread(
+            target=self._run, name="fit-service", daemon=True
+        )
+        self._worker.start()
+
+    @classmethod
+    def from_config(cls, cfg: Config, model=None, **kw) -> "FitService":
+        return cls(build_fit_session(cfg, model=model), **kw)
+
+    # -- client API ------------------------------------------------------
+
+    def submit(self, record: FrameRecord,
+               gender: Optional[str] = None) -> Future:
+        """Enqueue one frame; the Future resolves to a result dict
+        {name, loss, params: {...}, camera_translation[, vertices]}."""
+        req = FitRequest(record=record, gender=gender)
+        self._queue.put(req)
+        return req.future
+
+    def fit(self, record: FrameRecord, gender: Optional[str] = None,
+            timeout: Optional[float] = None) -> dict:
+        """Blocking convenience wrapper around submit()."""
+        return self.submit(record, gender=gender).result(timeout=timeout)
+
+    def stop(self, timeout: float = 30.0):
+        self._queue.put(None)
+        self._worker.join(timeout=timeout)
+
+    # -- worker ----------------------------------------------------------
+
+    def _drain(self) -> Optional[list]:
+        """Block for the first request, then coalesce up to max_batch or
+        max_wait_s. None (sentinel seen) -> shut down after flushing."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:
+                # put the sentinel back for the outer loop, flush this batch
+                self._queue.put(None)
+                break
+            batch.append(item)
+        return batch
+
+    def _get_models(self, gender: str):
+        import jax
+
+        from smplifyx_tpu.models.sparse import build_joints_model
+
+        with self._lock:
+            if gender not in self._models:
+                m = jax.device_put(self.session.get_model(gender))
+                jm = jax.device_put(build_joints_model(m))
+                self._models[gender] = (m, jm)
+            return self._models[gender]
+
+    def _resolve_gender(self, req: FitRequest) -> str:
+        if req.gender:
+            return req.gender
+        from smplifyx_tpu.data.gender import resolve_gender
+
+        return resolve_gender(req.record, default=self.default_gender)
+
+    def _run(self):
+        while True:
+            batch = self._drain()
+            if batch is None:
+                return
+            groups: dict[str, list[FitRequest]] = {}
+            for req in batch:
+                try:
+                    groups.setdefault(self._resolve_gender(req), []).append(req)
+                except Exception as e:  # bad record: fail just this future
+                    req.future.set_exception(e)
+            for gender, reqs in sorted(groups.items()):
+                try:
+                    self._fit_group(gender, reqs)
+                except Exception as e:
+                    for r in reqs:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+
+    def _fit_group(self, gender: str, reqs: list[FitRequest]):
+        import jax
+        import jax.numpy as jnp
+
+        from smplifyx_tpu.fitting.params import unpack
+        from smplifyx_tpu.fitting.pipeline import recover_outputs
+        from smplifyx_tpu.fitting.prepare import pad_prepared, prepare_batch
+
+        sess = self.session
+        model, joints_model = self._get_models(gender)
+        prepared = prepare_batch(
+            sess.cfg, [r.record for r in reqs], self._joint_weights,
+            vposer=sess.vposer, gmm=sess.gmm,
+        )
+        # Power-of-two bucket so repeat calls share compiled executables
+        # (same policy as the app's gender loop).
+        bucket = 1 << (max(prepared.num_real, 1) - 1).bit_length()
+        prepared = pad_prepared(prepared, bucket)
+        res = sess.fit(model, joints_model, prepared.frames,
+                       jnp.asarray(prepared.x0))
+        out_fwd, _params, cam_t = recover_outputs(
+            model, sess.settings, res.x, sess.decode_body, joint_map=None
+        )
+        jax.block_until_ready(out_fwd.vertices)
+
+        losses = np.asarray(res.loss)
+        cam_t_np = np.asarray(cam_t)
+        seg = unpack(sess.settings, res.x)
+        seg_np = {k: np.asarray(v) for k, v in seg.items()}
+        decoded = np.asarray(sess.decode_body(seg["body"]))
+        verts = np.asarray(out_fwd.vertices) if self.include_vertices else None
+
+        with self._lock:
+            self.batches_dispatched += 1
+            self.fits_completed += len(reqs)
+        for i, req in enumerate(reqs):
+            result = {
+                "name": req.record.fn,
+                "gender": gender,
+                "loss": float(losses[i]),
+                "camera_translation": cam_t_np[i].tolist(),
+                "params": {k: v[i].tolist() for k, v in seg_np.items()},
+                "body_pose_decoded": decoded[i].tolist(),
+            }
+            if verts is not None:
+                result["vertices"] = verts[i].tolist()
+            req.future.set_result(result)
+
+
+# -- HTTP frontend -------------------------------------------------------
+
+
+def record_from_request(payload: dict, num_joints: int) -> FrameRecord:
+    """Build a FrameRecord from a /fit JSON payload.
+
+    Expected fields: `keypoints` ([K,3] or [P,K,3] nested lists, OpenPose
+    order for the configured format), `image_size` ([H, W]); optional
+    `name`, `gender`."""
+    kp = np.asarray(payload["keypoints"], np.float32)
+    if kp.ndim == 2:
+        kp = kp[None]
+    if kp.ndim != 3 or kp.shape[-1] != 3 or kp.shape[1] != num_joints:
+        raise ValueError(
+            f"keypoints must be [P, {num_joints}, 3] (got {kp.shape})"
+        )
+    H, W = (int(v) for v in payload["image_size"])
+    name = str(payload.get("name", "request"))
+    return FrameRecord(
+        fn=name, img_path=name + ".jpg", keypoints=kp, img_size=(H, W),
+    )
+
+
+def serve_http(service: FitService, host: str = "127.0.0.1", port: int = 0):
+    """Start a ThreadingHTTPServer for the service; returns the server
+    (serving on a daemon thread; use server.server_address for the bound
+    port, server.shutdown() to stop)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    num_joints = int(service._joint_weights.shape[0])
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "ok": True,
+                    "fits_completed": service.fits_completed,
+                    "batches_dispatched": service.batches_dispatched,
+                })
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/fit":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n))
+                record = record_from_request(payload, num_joints)
+                result = service.fit(
+                    record, gender=payload.get("gender"),
+                    timeout=float(payload.get("timeout_s", 300.0)),
+                )
+                self._send(200, result)
+            except Exception as e:
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server
+
+
+def main(argv=None) -> None:
+    """python -m smplifyx_tpu.serve --config cfg/preset.yaml [--port 8123]
+
+    Same config surface as the batch CLI; --port/--serve-host come from
+    SMPLIFYX_SERVE_PORT / SMPLIFYX_SERVE_HOST env vars or defaults."""
+    import os
+
+    from smplifyx_tpu.utils.config import parse_cli
+
+    cfg = parse_cli(argv)
+    host = os.environ.get("SMPLIFYX_SERVE_HOST", "127.0.0.1")
+    port = int(os.environ.get("SMPLIFYX_SERVE_PORT", "8123"))
+    service = FitService.from_config(cfg)
+    server = serve_http(service, host=host, port=port)
+    bound = server.server_address
+    print(f"smplifyx_tpu fit service on http://{bound[0]}:{bound[1]} "
+          f"(POST /fit, GET /healthz)", flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.shutdown()
+        service.stop()
+
+
+if __name__ == "__main__":
+    main()
