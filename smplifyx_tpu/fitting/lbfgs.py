@@ -111,10 +111,11 @@ def _cubic_minimizer(x1, f1, g1, x2, f2, g2, lo, hi):
 class _LSState(NamedTuple):
     phase: jax.Array
     it: jax.Array         # number of phi evaluations so far
-    t: jax.Array          # current/next trial step
+    t: jax.Array          # last EVALUATED trial step (f_t/g_t/gtd_t match)
     f_t: jax.Array
     g_t: jax.Array
     gtd_t: jax.Array
+    t_nx: jax.Array       # next bracketing trial (pending, NOT evaluated)
     # previous bracketing point
     t_prev: jax.Array
     f_prev: jax.Array
@@ -188,13 +189,18 @@ def _strong_wolfe(value_grad_fn, x, t_init, d, f0, g0, gtd0, cfg: LBFGSConfig):
             cond_done, _DONE, jnp.where(to_zoom, _ZOOM, _BRACKET)
         ).astype(jnp.int32)
 
+        # The pending trial lives in t_nx, NOT in s.t: s.t must always pair
+        # with f_t/g_t (the accept check and the L-BFGS state update read
+        # them as a triple — overwriting t with an unevaluated step here
+        # returned a mismatched (t_next, f_old, g_old) when max_ls ran out
+        # mid-bracketing, corrupting the curvature history).
         return s._replace(
             phase=phase,
             t_prev=jnp.where(stay, s.t, s.t_prev),
             f_prev=jnp.where(stay, s.f_t, s.f_prev),
             g_prev=jnp.where(stay, s.g_t, s.g_prev),
             gtd_prev=jnp.where(stay, s.gtd_t, s.gtd_prev),
-            t=jnp.where(stay, t_next, s.t),
+            t_nx=jnp.where(stay, t_next, s.t_nx),
             t_lo=jnp.where(to_zoom, t_lo, s.t_lo),
             f_lo=jnp.where(to_zoom, f_lo, s.f_lo),
             g_lo=jnp.where(to_zoom, g_lo, s.g_lo),
@@ -260,7 +266,7 @@ def _strong_wolfe(value_grad_fn, x, t_init, d, f0, g0, gtd0, cfg: LBFGSConfig):
     zero = jnp.asarray(0.0, dtype)
     s0 = _LSState(
         phase=jnp.asarray(_BRACKET, jnp.int32), it=jnp.asarray(1, jnp.int32),
-        t=t_init, f_t=f_t, g_t=g_t, gtd_t=gtd_t,
+        t=t_init, f_t=f_t, g_t=g_t, gtd_t=gtd_t, t_nx=t_init,
         t_prev=zero, f_prev=f0, g_prev=g0, gtd_prev=gtd0,
         t_lo=zero, f_lo=f0, g_lo=g0, gtd_lo=gtd0,
         t_hi=t_init, f_hi=f_t, gtd_hi=gtd_t,
@@ -277,7 +283,7 @@ def _strong_wolfe(value_grad_fn, x, t_init, d, f0, g0, gtd0, cfg: LBFGSConfig):
     def body(s: _LSState) -> _LSState:
         in_zoom = s.phase == _ZOOM
         t_zoom, insuf_next = zoom_trial(s)
-        t_try = jnp.where(in_zoom, t_zoom, s.t)
+        t_try = jnp.where(in_zoom, t_zoom, s.t_nx)
         s = s._replace(insuf=jnp.where(in_zoom, insuf_next, s.insuf))
         f_t, g_t, gtd_t = phi(t_try)
         better = f_t < s.best_f

@@ -275,3 +275,32 @@ class TestMaskedNaNGradient:
         assert np.isfinite(x).all(), x
         np.testing.assert_allclose(x[0], 3.0, atol=1e-4)
         np.testing.assert_array_equal(x[1:], 0.0)
+
+
+class TestLineSearchConsistency:
+    def test_exhausted_bracketing_returns_evaluated_triple(self):
+        """Regression: when max_ls runs out while the bracketing phase has a
+        PENDING (unevaluated) extrapolation trial, the line search must
+        return a (t, f, g) triple from one evaluated point — not the
+        pending t paired with the previous point's f/g (which corrupted
+        the L-BFGS curvature history and could silently accept an
+        unevaluated step)."""
+        from smplifyx_tpu.fitting.lbfgs import _strong_wolfe
+
+        # Long, gently-decreasing valley: Armijo holds at every
+        # extrapolation, curvature never does -> the automaton stays in
+        # bracketing and exhausts max_ls with a pending trial.
+        def fun(x):
+            return -1e-3 * x[0] + 1e-6 * x[0] ** 2
+
+        vg = jax.value_and_grad(fun)
+        x = jnp.zeros(1, jnp.float32)
+        d = jnp.ones(1, jnp.float32)
+        f0, g0 = vg(x)
+        cfg = LBFGSConfig(max_ls=3, ls_soft_accept=10_000, c2=1e-12)
+        t, f, g, n = _strong_wolfe(
+            vg, x, jnp.asarray(1.0, jnp.float32), d, f0, g0,
+            jnp.vdot(g0, d), cfg)
+        f_at_t, g_at_t = vg(x + t * d)
+        np.testing.assert_allclose(float(f), float(f_at_t), rtol=0, atol=0)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(g_at_t))
