@@ -184,10 +184,12 @@ def evaluate_ehf(
         m = evaluate_frame(
             fit_all[key], gt_all[key], xmin, ymin, part_ids, j14_regressor
         )
-        agg["all"].append(m.v2v_all)
-        for name, val in (("body", m.v2v_body), ("face", m.v2v_face),
+        for name, val in (("all", m.v2v_all),
+                          ("body", m.v2v_body), ("face", m.v2v_face),
                           ("lhand", m.v2v_left_hand),
                           ("rhand", m.v2v_right_hand), ("j14", m.pa_mpjpe14)):
+            # every per-frame metric can be None (fewer than 3 visible GT
+            # vertices in the crop) — skip rather than poison the mean
             if val is not None:
                 agg[name].append(val)
 

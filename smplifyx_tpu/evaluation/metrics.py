@@ -90,7 +90,13 @@ def pelvis_mpjpe(pred: jax.Array, gt: jax.Array, hips_idxs=(2, 3)) -> jax.Array:
 
 
 def point_fscore(pred: jax.Array, gt: jax.Array, thresh: float) -> dict:
-    """F-score at `thresh` between two point sets [N,3]/[M,3] (exact NN)."""
+    """F-score at `thresh` between two point sets [N,3]/[M,3] (exact NN).
+
+    NOTE reference quirk, preserved for parity (utils.py:637-639): the
+    reference labels pred->gt coverage 'recall' and gt->pred coverage
+    'precision' — the REVERSE of the usual Tanks&Temples convention.
+    The fscore itself is symmetric and unaffected; only interpret the
+    precision/recall fields with this labeling in mind."""
     d2 = jnp.sum((pred[:, None, :] - gt[None, :, :]) ** 2, axis=-1)
     pred_to_gt = jnp.sqrt(jnp.min(d2, axis=1))
     gt_to_pred = jnp.sqrt(jnp.min(d2, axis=0))

@@ -66,7 +66,10 @@ def warm_start_from_results(
             def g(key, size):
                 return np.asarray(d[key], np.float32).reshape(-1)[:size]
 
-            body_pose = g("body_pose", 63)
+            # settings.body_pose_dof, NOT a literal 63: SMPL configs carry
+            # a 69-dof body segment and a hardcoded width would truncate
+            # the saved pose and crash pack() on resume.
+            body_pose = g("body_pose", settings.body_pose_dof)
             if settings.use_vposer:
                 assert vposer is not None
                 body = np.asarray(
@@ -84,8 +87,8 @@ def warm_start_from_results(
                 "jaw": g("jaw_pose", 3),
                 "leye": g("leye_pose", 3),
                 "reye": g("reye_pose", 3),
-                "lhand": g("left_hand_pose", settings.num_pca),
-                "rhand": g("right_hand_pose", settings.num_pca),
+                "lhand": g("left_hand_pose", settings.hand_dim),
+                "rhand": g("right_hand_pose", settings.hand_dim),
             }
         else:
             sizes = settings.segments()

@@ -62,6 +62,13 @@ class FitSettings:
     def body_dim(self) -> int:
         return self.latent_dim if self.use_vposer else self.body_pose_dof
 
+    @property
+    def hand_dim(self) -> int:
+        """Per-hand segment width: PCA coefficients, or the full 45-dof
+        axis-angle pose when use_pca=False (reference --use_pca false;
+        smplx create(use_pca=False) takes [B, 45] hand poses)."""
+        return self.num_pca if self.use_pca else 45
+
     def segments(self) -> Dict[str, tuple[int, int]]:
         """Name -> (offset, size) of every segment in the flat vector."""
         sizes = [
@@ -73,8 +80,8 @@ class FitSettings:
             ("jaw", 3),
             ("leye", 3),
             ("reye", 3),
-            ("lhand", self.num_pca),
-            ("rhand", self.num_pca),
+            ("lhand", self.hand_dim),
+            ("rhand", self.hand_dim),
         ]
         out, off = {}, 0
         for name, size in sizes:

@@ -79,6 +79,28 @@ class SMPLXOutput:
 from functools import lru_cache
 
 
+def _use_pallas_lbs() -> bool:
+    """Gate for the fused Pallas skinning kernel (ops/lbs_pallas.py,
+    measured 1.4-1.5x over the XLA einsum, bit-exact).
+
+    Opt-in via SMPLIFYX_PALLAS_LBS=1 AND a TPU backend.  Default OFF: with
+    the kernel inside the full fit graph (hundreds of instantiations through
+    the L-BFGS while_loop trace) the end-to-end TPU compile was observed to
+    exceed 10 minutes on the remote-tunnel backend, vs ~1 min for the einsum
+    path — the 1.1 ms/eval win does not buy back a pathological compile for
+    the default user.  The kernel stays covered by tests/test_lbs_pallas.py
+    and available for long-running production sessions where the one-time
+    compile amortizes."""
+    import os
+
+    if os.environ.get("SMPLIFYX_PALLAS_LBS", "0") != "1":
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 @lru_cache(maxsize=None)
 def _tree_levels(parents: tuple) -> tuple:
     """Partition joints by tree depth: ((level_idxs, their_parents), ...).
@@ -282,10 +304,16 @@ def smplx_forward(
     vertices = None
     landmarks_src = None
     if return_verts:
-        # Skinning as one [V, J] @ [B, J, 16] matmul.
-        T = jnp.einsum("vj,bjmn->bvmn", model.lbs_weights, A)  # [B, V, 4, 4]
-        vertices = (
-            jnp.einsum("bvmn,bvn->bvm", T[..., :3, :3], v_posed) + T[..., :3, 3]
+        # Skinning as one [V, J] @ [B, J, 16] matmul.  With
+        # SMPLIFYX_PALLAS_LBS=1 on TPU, the fused Pallas kernel keeps the
+        # [B, V, 16] transform tensor in VMEM (ops/lbs_pallas.py: 1.4-1.5x
+        # over the XLA einsum, bit-exact); default is the einsum reference
+        # (see _use_pallas_lbs for the compile-time tradeoff).
+        from smplifyx_tpu.ops.lbs_pallas import lbs_apply
+
+        vertices = lbs_apply(
+            model.lbs_weights, A.reshape(B, J, 16), v_posed,
+            _use_pallas_lbs(),
         )
         landmarks_src = vertices
 

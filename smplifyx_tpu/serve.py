@@ -162,7 +162,6 @@ class FitService:
                             r.future.set_exception(e)
 
     def _fit_group(self, gender: str, reqs: list[FitRequest]):
-        import jax
         import jax.numpy as jnp
 
         from smplifyx_tpu.fitting.params import unpack
@@ -171,9 +170,29 @@ class FitService:
 
         sess = self.session
         model, joints_model = self._get_models(gender)
+        # prepare_batch silently DROPS records with no detected person
+        # (keypoints [0, K, 3]); fail those futures individually up front
+        # so row i of the prepared batch is exactly reqs[i] — otherwise
+        # every later future would receive its neighbor's fit.
+        kept = []
+        for r in reqs:
+            if r.record.keypoints.shape[0] < 1:
+                r.future.set_exception(ValueError(
+                    f"record {r.record.fn!r} has no detected people "
+                    "(keypoints shape "
+                    f"{tuple(r.record.keypoints.shape)})"
+                ))
+            else:
+                kept.append(r)
+        reqs = kept
+        if not reqs:
+            return
         prepared = prepare_batch(
             sess.cfg, [r.record for r in reqs], self._joint_weights,
             vposer=sess.vposer, gmm=sess.gmm,
+        )
+        assert prepared.num_real == len(reqs), (
+            prepared.num_real, len(reqs),
         )
         # Power-of-two bucket so repeat calls share compiled executables
         # (same policy as the app's gender loop).
@@ -181,17 +200,21 @@ class FitService:
         prepared = pad_prepared(prepared, bucket)
         res = sess.fit(model, joints_model, prepared.frames,
                        jnp.asarray(prepared.x0))
-        out_fwd, _params, cam_t = recover_outputs(
-            model, sess.settings, res.x, sess.decode_body, joint_map=None
-        )
-        jax.block_until_ready(out_fwd.vertices)
+        verts = None
+        if self.include_vertices:
+            # Full-mesh forward only when the client wants vertices — the
+            # default response is built from the flat params alone.
+            out_fwd, _params, _cam_t = recover_outputs(
+                model, sess.settings, res.x, sess.decode_body,
+                joint_map=None,
+            )
+            verts = np.asarray(out_fwd.vertices)
 
         losses = np.asarray(res.loss)
-        cam_t_np = np.asarray(cam_t)
         seg = unpack(sess.settings, res.x)
         seg_np = {k: np.asarray(v) for k, v in seg.items()}
+        cam_t_np = seg_np["cam_t"]
         decoded = np.asarray(sess.decode_body(seg["body"]))
-        verts = np.asarray(out_fwd.vertices) if self.include_vertices else None
 
         with self._lock:
             self.batches_dispatched += 1

@@ -252,7 +252,7 @@ def build_fit_session(cfg: Config, model=None) -> FitSession:
             ftol=cfg.ftol, gtol=cfg.gtol,
         ),
         optim_type=cfg.optim_type,
-        try_both_orient=True,
+        try_both_orient=cfg.try_both_orient,
         side_view_thsh=cfg.side_view_thsh,
         left_shoulder_idx=ls, right_shoulder_idx=rs,
         use_camera_prior=cfg.use_camera_prior and bool(cfg.regression_prior),

@@ -102,6 +102,12 @@ class Config:
     init_joints_idxs: List[int] = field(default_factory=lambda: [9, 12, 2, 5])
     body_tri_idxs: List[int] = field(default_factory=lambda: [5, 12, 2, 9])
     side_view_thsh: float = 25.0
+    # Dual-orientation retry (reference fit_single_frame.py:461-463 tries a
+    # 180deg-flipped orientation for frames whose 2D shoulder distance is
+    # under side_view_thsh).  The batched pipeline expresses it as a static
+    # batch doubling with per-frame eligibility masks; set false to skip
+    # the doubling (~2x body-stage compute) when no frame can be side-view.
+    try_both_orient: bool = True
 
     # --- stage weight schedules (list length = number of stages)
     data_weights: Optional[List[float]] = None  # dead in the reference, kept
@@ -200,7 +206,8 @@ class Config:
                     f"{name} has {len(v)} entries but there are {S} stages "
                     "(stage count is the length of body_pose_prior_weights)"
                 )
-        if self.format.lower() not in ("coco25", "halpe", "coco_wholebody"):
+        if self.format.lower() not in ("coco25", "coco19", "halpe",
+                                       "coco_wholebody"):
             raise ValueError(f"Unknown format {self.format}")
         return self
 

@@ -206,6 +206,23 @@ class TestParams:
         assert settings.body_dim == 32
         assert settings.dim == 3 + 3 + 32 + 10 + 10 + 9 + 24
 
+    def test_use_pca_false_hand_segments_are_45(self):
+        """Regression: use_pca=False must allocate full 45-dof hand
+        segments (smplx create(use_pca=False) semantics); a num_pca-wide
+        segment fails full_pose.reshape(B, 55, 3) at trace time."""
+        from smplifyx_tpu.models.bodymodel import synthetic_model
+        from smplifyx_tpu.models.forward import smplx_forward
+        from smplifyx_tpu.fitting.params import body_params_from_flat
+
+        settings = FitSettings(use_pca=False, num_pca=12)
+        segs = settings.segments()
+        assert segs["lhand"][1] == 45 and segs["rhand"][1] == 45
+        model = synthetic_model(num_verts=64, seed=0)
+        x = jnp.zeros((2, settings.dim), jnp.float32)
+        params, _, _ = body_params_from_flat(settings, x, lambda b: b)
+        out = smplx_forward(model, params, use_pca=False, return_verts=True)
+        assert out.vertices.shape == (2, 64, 3)
+
     def test_masks(self):
         settings = FitSettings()
         cm = np.asarray(camera_stage_mask(settings))
