@@ -362,6 +362,7 @@ def minimize(
     mask: Optional[jax.Array] = None,
     cfg: LBFGSConfig = LBFGSConfig(),
     aux_fn: Optional[Callable[[jax.Array], object]] = None,
+    aux_refresh_fn: Optional[Callable[[jax.Array, object], object]] = None,
 ) -> LBFGSResult:
     """Minimize fun over the masked subspace of x0 with L-BFGS + strong Wolfe.
 
@@ -382,6 +383,14 @@ def minimize(
     reference reruns its BVH in every closure evaluation,
     smplifyx/fitting.py:439-455; this is a deliberate, measured divergence —
     stale pairs are AABB-rechecked inside apply.)
+
+    aux_refresh_fn: optional `(x, aux_prev) -> aux` used for every refresh
+    AFTER the initial `aux_fn(x0)`.  Lets the aux carry state that is
+    cheaper to update than to rebuild — e.g. the collision broad phase's
+    Morton permutation (`collision_fn.build_refresh` reuses the previous
+    sort and re-runs only the funnel).  The initial aux still comes from
+    `aux_fn`, and the refreshed aux must have the same pytree structure
+    (it rides the outer while_loop carry).
     """
     D = x0.shape[0]
     dtype = x0.dtype
@@ -546,16 +555,21 @@ def minimize(
         # a stationary point of an outdated collision pair list.
         K = max(1, cfg.aux_every)
 
-        def outer_cond(s: _MinState):
+        def outer_cond(carry):
+            s, _ = carry
             under_budget = (cfg.max_evals <= 0) | (s.n_evals < cfg.max_evals)
             return (~s.sealed) & (s.it < cfg.max_iters) & under_budget
 
-        def outer_body(s: _MinState) -> _MinState:
+        def outer_body(carry):
+            s, aux_prev = carry
             # f/g MUST be re-evaluated under the fresh aux: a stale Armijo
             # reference makes every line-search trial look like an ascent
             # (t -> 0, spurious convergence).  Costs one evaluation per
             # refresh period.
-            aux = aux_fn(s.x)
+            if aux_refresh_fn is not None:
+                aux = aux_refresh_fn(s.x, aux_prev)
+            else:
+                aux = aux_fn(s.x)
             eval_fn = make_eval(aux)
             f_cur, g_cur = eval_fn(s.x)
             g_small = jnp.max(jnp.abs(g_cur)) <= cfg.gtol
@@ -580,10 +594,11 @@ def minimize(
             def inner_cond(t: _MinState):
                 return cond(t) & (t.it < period_end)
 
-            return jax.lax.while_loop(
+            s = jax.lax.while_loop(
                 inner_cond, lambda t: body(t, eval_fn), s)
+            return (s, aux)
 
-        final = jax.lax.while_loop(outer_cond, outer_body, init)
+        final, _ = jax.lax.while_loop(outer_cond, outer_body, (init, aux0))
     return LBFGSResult(
         x=final.x, f=final.f, g=final.g,
         n_iters=final.it, n_evals=final.n_evals, converged=final.converged,

@@ -72,6 +72,14 @@ class FitOptions:
     # ops/collision.py apply); "eval" reruns the full broad phase in every
     # energy evaluation (exact reference semantics, ~5x the collision cost).
     coll_broad_refresh: str = struct.field(pytree_node=False, default="iter")
+    # Persist the Morton sort across broad-phase refreshes within a stage:
+    # each refresh reuses the stage-initial triangle ordering and re-runs
+    # only the AABB funnel (collision_fn.build_refresh).  Exact up to the
+    # pair budgets for any ordering — staleness only loosens the spatial
+    # groupings (more survivors), never drops a contacting pair outright —
+    # and poses drift little within one stage.  Saves the batched argsort
+    # (the most expensive single broad-phase op) on every refresh.
+    coll_morton_persist: bool = struct.field(pytree_node=False, default=True)
 
 
 class FitResult(struct.PyTreeNode):
@@ -119,14 +127,15 @@ def fit_batch(
 
     use_lbfgs = options.optim_type.lower() in ("lbfgs", "lbfgsls")
     if use_lbfgs:
-        def run_min(fun, x, mask, cfg, aux_fn=None):
-            return minimize(fun, x, mask=mask, cfg=cfg, aux_fn=aux_fn)
+        def run_min(fun, x, mask, cfg, aux_fn=None, aux_refresh_fn=None):
+            return minimize(fun, x, mask=mask, cfg=cfg, aux_fn=aux_fn,
+                            aux_refresh_fn=aux_refresh_fn)
     else:
         from smplifyx_tpu.fitting.optimizers import (
             make_optax_optimizer, minimize_first_order,
         )
 
-        def run_min(fun, x, mask, cfg, aux_fn=None):
+        def run_min(fun, x, mask, cfg, aux_fn=None, aux_refresh_fn=None):
             # aux_fn ignored: first-order steps have no line search, so the
             # broad phase is recomputed per evaluation (reference semantics).
             opt = make_optax_optimizer(options.optim_type, cfg.lr)
@@ -231,8 +240,15 @@ def fit_batch(
                     (lambda z: collision_fn.build(vertices_of(z)))
                     if hoist_broad and use_lbfgs else None
                 )
+                aux_refresh_fn = (
+                    (lambda z, aux: collision_fn.build_refresh(
+                        vertices_of(z), aux))
+                    if (aux_fn is not None and options.coll_morton_persist
+                        and hasattr(collision_fn, "build_refresh"))
+                    else None
+                )
                 return run_min(fun, xx, body_mask, options.lbfgs,
-                               aux_fn=aux_fn)
+                               aux_fn=aux_fn, aux_refresh_fn=aux_refresh_fn)
 
             res = jax.vmap(fit_one)(x, frames2)
             return res.x, res.f

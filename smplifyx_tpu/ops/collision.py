@@ -368,21 +368,17 @@ def make_collision_fn(
     else:
         segm_j = parents_j = None
 
-    def candidate_pairs(vertices: jax.Array, return_counts: bool = False):
-        """Broad phase: -> (idx_a [P], idx_b [P], valid [P] bool).  No
-        gradients flow through any output.
+    def morton_order(vertices: jax.Array) -> jax.Array:
+        """Morton rank of each triangle's AABB centroid -> permutation [F].
 
-        return_counts additionally returns {level: (surviving, budget)} so
-        callers can check headroom: _compact keeps the first `budget` True
-        entries in Morton-rank order, so an over-budget pose silently drops
-        contact pairs — tests/benches should assert surviving < budget on
-        their own meshes (see `saturation`)."""
+        Separated from the funnel so the (expensive, batched) argsort can
+        be PERSISTED across broad-phase refreshes: the funnel below is
+        exact up to its budgets under ANY permutation — the order only
+        controls how spatially tight the 8/64-triangle groups are, so a
+        slightly stale order costs survivor-count headroom, never missed
+        pairs (see `build_refresh`)."""
         tris = jax.lax.stop_gradient(vertices[faces])   # [F, 3, 3]
-        aabb_min = jnp.min(tris, axis=1)                # [F, 3]
-        aabb_max = jnp.max(tris, axis=1)
-
-        # ---- Morton sort: spatially tight blocks ------------------------
-        cent = 0.5 * (aabb_min + aabb_max)
+        cent = 0.5 * (jnp.min(tris, axis=1) + jnp.max(tris, axis=1))
         lo = jnp.min(cent, axis=0)
         span = jnp.maximum(jnp.max(cent, axis=0) - lo, 1e-9)
         qc = jnp.clip((cent - lo) / span * 1023.0, 0.0, 1023.0)
@@ -390,7 +386,27 @@ def make_collision_fn(
         code = (_interleave3(qi[:, 0])
                 | (_interleave3(qi[:, 1]) << 1)
                 | (_interleave3(qi[:, 2]) << 2))
-        order = jnp.argsort(code)
+        return jnp.argsort(code)
+
+    def candidate_pairs(vertices: jax.Array, return_counts: bool = False,
+                        order: Optional[jax.Array] = None):
+        """Broad phase: -> (idx_a [P], idx_b [P], valid [P] bool).  No
+        gradients flow through any output.
+
+        return_counts additionally returns {level: (surviving, budget)} so
+        callers can check headroom: _compact keeps the first `budget` True
+        entries in Morton-rank order, so an over-budget pose silently drops
+        contact pairs — tests/benches should assert surviving < budget on
+        their own meshes (see `saturation`).
+
+        order: optional precomputed triangle permutation (see
+        `morton_order`); default recomputes it at the given vertices."""
+        tris = jax.lax.stop_gradient(vertices[faces])   # [F, 3, 3]
+        aabb_min = jnp.min(tris, axis=1)                # [F, 3]
+        aabb_max = jnp.max(tris, axis=1)
+
+        if order is None:
+            order = morton_order(vertices)
 
         big = jnp.asarray(1e30, aabb_min.dtype)
         # Apply the Morton permutation with ONE row gather: gather cost on
@@ -605,14 +621,35 @@ def make_collision_fn(
         _, counts = candidate_pairs(vertices, return_counts=True)
         return counts
 
+    def _resolve_corners(idx_a, idx_b, valid, order):
+        vv = faces_f[jnp.concatenate([idx_a, idx_b])].astype(jnp.int32)
+        return (vv[: idx_a.shape[0]], vv[idx_a.shape[0]:], valid,
+                order.astype(jnp.int32))
+
     def build(vertices: jax.Array):
         """Broad phase as reusable aux: the compacted pair list, resolved
         to corner VERTEX ids (va/vb [P, 3]) rather than face ids — the
         face->corner lookup depends only on the pair list, so hoisting it
-        here removes two [P]-row gathers from every line-search eval."""
-        idx_a, idx_b, valid = candidate_pairs(vertices)
-        vv = faces_f[jnp.concatenate([idx_a, idx_b])].astype(jnp.int32)
-        return vv[: idx_a.shape[0]], vv[idx_a.shape[0]:], valid  # [P, 3] x2
+        here removes two [P]-row gathers from every line-search eval.
+
+        The aux also carries the Morton permutation (4th element) so
+        `build_refresh` can re-run the funnel WITHOUT the batched argsort
+        (the single most expensive broad-phase op)."""
+        order = morton_order(vertices)
+        idx_a, idx_b, valid = candidate_pairs(vertices, order=order)
+        return _resolve_corners(idx_a, idx_b, valid, order)
+
+    def build_refresh(vertices: jax.Array, aux):
+        """Broad-phase refresh that REUSES the previous aux's Morton order
+        instead of re-sorting.  The funnel's superblock level is all-pairs,
+        so the result is exact up to the budgets for ANY order; a stale
+        order only loosens the 8/64-triangle groupings (poses drift slowly
+        within a stage), trading survivor-count headroom for skipping the
+        argsort on every refresh.  Re-sorting happens wherever `build` is
+        called — in the staged pipeline, once per collision stage."""
+        order = aux[3]
+        idx_a, idx_b, valid = candidate_pairs(vertices, order=order)
+        return _resolve_corners(idx_a, idx_b, valid, order)
 
     def apply(vertices: jax.Array, aux) -> jax.Array:
         """Cone penalty on a fixed pair list; differentiable in vertices.
@@ -620,7 +657,7 @@ def make_collision_fn(
         Pairs are rechecked for AABB overlap at the CURRENT vertices so a
         stale list (refreshed once per optimizer iteration) never penalizes
         pairs that have separated since the refresh."""
-        va, vb, valid = aux
+        va, vb, valid = aux[0], aux[1], aux[2]
         # Corner gather with a custom VJP: on TPU the forward gather runs
         # as a one-hot matmul (1.6x over the serial native gather) and the
         # backward scatter-add as its transpose (_scatter_add_mm, 6.2x
@@ -641,7 +678,9 @@ def make_collision_fn(
         return apply(vertices, build(vertices))
 
     collision_penalty.candidate_pairs = candidate_pairs
+    collision_penalty.morton_order = morton_order
     collision_penalty.build = build
+    collision_penalty.build_refresh = build_refresh
     collision_penalty.apply = apply
     collision_penalty.saturation = saturation
     return collision_penalty

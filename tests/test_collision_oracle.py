@@ -131,3 +131,52 @@ class TestOracleFullScale:
                 f"level {level!r}: {count} surviving pairs vs budget "
                 f"{budget} — less than 2x headroom"
             )
+
+
+class TestStaleOrderRefresh:
+    """build_refresh reuses the previous Morton permutation (the pipeline
+    persists it across broad-phase refreshes within a stage); the funnel
+    must stay oracle-exact under a STALE order, since the superblock level
+    is all-pairs and ordering only controls grouping tightness."""
+
+    def test_refresh_with_stale_order_is_lossless(self):
+        verts, faces, segm, parents = build_posed_human(scale_faces=0.2)
+        fn = make_collision_fn(
+            jnp.asarray(faces), segm=segm, parents=parents, max_pairs=4096,
+        )
+        aux0 = fn.build(jnp.asarray(verts))
+
+        # Drift the pose the way ~one optimizer stage would: a smooth bend
+        # + uniform translation, enough to change contacts and make the
+        # old Morton order spatially stale.
+        v2 = verts.copy()
+        v2[:, 1] += 0.08 * np.sin(3.0 * verts[:, 2])
+        v2[:, 0] += 0.05
+        oi, oj = oracle_overlap_pairs(v2, faces, segm, parents)
+        assert len(oi) > 20, "perturbed mesh lost its self-contacts"
+
+        ia, ib, valid = fn.candidate_pairs(
+            jnp.asarray(v2), order=aux0[3]
+        )
+        found = _pair_set(np.asarray(ia), np.asarray(ib), np.asarray(valid))
+        oracle = _pair_set(oi, oj)
+        assert found == oracle, (
+            f"stale-order refresh lost {len(oracle - found)} / invented "
+            f"{len(found - oracle)} pairs"
+        )
+
+    def test_build_refresh_matches_fresh_pairs_and_keeps_order(self):
+        verts, faces, segm, parents = build_posed_human(scale_faces=0.2)
+        fn = make_collision_fn(
+            jnp.asarray(faces), segm=segm, parents=parents, max_pairs=4096,
+        )
+        aux0 = fn.build(jnp.asarray(verts))
+        v2 = jnp.asarray(verts * 1.01 + 0.02)
+        aux_r = fn.build_refresh(v2, aux0)
+        np.testing.assert_array_equal(np.asarray(aux_r[3]),
+                                      np.asarray(aux0[3]))
+        # Same surviving corner set as a from-scratch funnel on the stale
+        # order (build_refresh is exactly candidate_pairs(order=...)).
+        ia, ib, valid = fn.candidate_pairs(v2, order=aux0[3])
+        corners = jnp.concatenate([ia, ib])
+        assert np.asarray(valid).sum() == np.asarray(aux_r[2]).sum()
