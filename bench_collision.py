@@ -1,7 +1,7 @@
 """Collision-on throughput bench: staged fit with the interpenetration term.
 
 Usage: python bench_collision.py [B] [iters_per_stage] [coll_broad_every]
-                                 [mono|split]
+                                 [mono|split] [wolfe|armijo]
 
 Companion to bench.py (which reports the flagship collision-off number):
 SMPL-X-scale faces (20908 tris) + synthetic parts segmentation, 3-stage
@@ -20,7 +20,7 @@ timing sums the dispatches.
 import json, sys, time
 import numpy as np
 
-def build(B, iters, aux_every, refresh):
+def build(B, iters, aux_every, refresh, ls_mode="wolfe"):
     import jax, jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
@@ -50,17 +50,19 @@ def build(B, iters, aux_every, refresh):
     settings = settings.replace(interpenetration=True)
     options = FitOptions(
         lbfgs=LBFGSConfig(max_iters=iters, history=16, ftol=1e-9, gtol=1e-9,
-                          ls_soft_accept=6, aux_every=aux_every),
+                          ls_soft_accept=6, aux_every=aux_every,
+                          ls_mode=ls_mode),
         camera_lbfgs=LBFGSConfig(max_iters=10, history=8, ls_soft_accept=6),
         coll_broad_refresh=refresh)
     return (jax, jnp, model, settings, frames, x0, joint_map, joints_model,
             collision_fn, schedule, options)
 
 
-def run_mono(B, iters, aux_every, refresh):
+def run_mono(B, iters, aux_every, refresh, ls_mode="wolfe"):
     from smplifyx_tpu.fitting.pipeline import fit_batch
     (jax, jnp, model, settings, frames, x0, joint_map, joints_model,
-     collision_fn, schedule, options) = build(B, iters, aux_every, refresh)
+     collision_fn, schedule, options) = build(B, iters, aux_every, refresh,
+                                              ls_mode)
     fit = jax.jit(lambda m, jm, fr, x: fit_batch(
         m, settings, options, schedule, fr, x, lambda b: b, joint_map,
         edge_idxs=jnp.asarray([[5, 12], [2, 9]]), joints_model=jm,
@@ -87,11 +89,12 @@ def run_mono(B, iters, aux_every, refresh):
     return B / dt
 
 
-def run_split(B, iters, aux_every, refresh):
+def run_split(B, iters, aux_every, refresh, ls_mode="wolfe"):
     import jax.tree_util as jtu
     from smplifyx_tpu.fitting.pipeline import fit_batch
     (jax, jnp, model, settings, frames, x0, joint_map, joints_model,
-     collision_fn, schedule, options) = build(B, iters, aux_every, refresh)
+     collision_fn, schedule, options) = build(B, iters, aux_every, refresh,
+                                              ls_mode)
 
     def head_sched():
         return jtu.tree_map(lambda a: a[0:1], schedule)
@@ -150,8 +153,9 @@ if __name__ == "__main__":
     iters = int(a[1]) if len(a) > 1 else 30
     aux_every = int(a[2]) if len(a) > 2 else 8
     mode = a[3] if len(a) > 3 else "mono"
+    ls_mode = a[4] if len(a) > 4 else "wolfe"
     refresh = "iter"
     if mode == "split":
-        run_split(B, iters, aux_every, refresh)
+        run_split(B, iters, aux_every, refresh, ls_mode)
     else:
-        run_mono(B, iters, aux_every, refresh)
+        run_mono(B, iters, aux_every, refresh, ls_mode)

@@ -75,6 +75,15 @@ class LBFGSConfig:
     # candidate pairs; the apply-side AABB recheck bounds the error to
     # MISSED new contacts, never phantom ones.
     aux_every: int = struct.field(pytree_node=False, default=1)
+    # Line-search algorithm: "wolfe" (bracket+zoom strong Wolfe, the
+    # reference's lbfgs_ls semantics) or "armijo" (backtracking with
+    # quadratic interpolation, sufficient-decrease only).  Armijo averages
+    # ~1-2 objective evaluations per iteration vs ~5 for strong Wolfe on
+    # the stiff SMPLify energies; curvature-condition violations are
+    # absorbed by the ys > 0 guard on history updates.  Throughput knob
+    # for collision-enabled stages, where each evaluation carries a
+    # full-mesh forward + narrow-phase VJP.
+    ls_mode: str = struct.field(pytree_node=False, default="wolfe")
     lr: float = 1.0
     ftol: float = 1e-9   # relative f change (reference utils.rel_change)
     gtol: float = 1e-9   # max-abs gradient
@@ -306,6 +315,71 @@ def _strong_wolfe(value_grad_fn, x, t_init, d, f0, g0, gtd0, cfg: LBFGSConfig):
     return t_out, f_out, g_out, final.it
 
 
+def _armijo_backtrack(value_grad_fn, x, t_init, d, f0, g0, gtd0,
+                      cfg: LBFGSConfig):
+    """Backtracking line search: first trial satisfying the Armijo
+    sufficient-decrease condition f(t) <= f0 + c1*t*gtd0 wins.
+
+    Each backtrack interpolates the quadratic through (0, f0, gtd0) and
+    (t, f_t), clipped to [0.1t, 0.5t] (standard safeguards).  No curvature
+    condition is enforced — minimize()'s ys > 0 guard simply skips history
+    updates for non-curvature-compatible steps.  Like `_strong_wolfe`, the
+    returned (t, f, g) triple is always from one EVALUATED point: Armijo
+    failure after max_ls returns the best decreasing point seen, or t=0
+    with (f0, g0) if every trial was an ascent/non-finite.
+    """
+    dtype = x.dtype
+
+    def phi(t):
+        f, g = value_grad_fn(x + t * d)
+        return f, g
+
+    def armijo_ok(t, f):
+        return jnp.isfinite(f) & (f <= f0 + cfg.c1 * t * gtd0)
+
+    f1, g1 = phi(t_init)
+    s0 = (t_init, f1, g1, jnp.asarray(1, jnp.int32), armijo_ok(t_init, f1),
+          # best decreasing point seen (fallback): t=0 start
+          jnp.zeros_like(t_init), f0, g0)
+
+    def cond(s):
+        _, _, _, it, ok, _, _, _ = s
+        return (~ok) & (it < cfg.max_ls)
+
+    def body(s):
+        t, f_t, g_t, it, _, bt, bf, bg = s
+        better = jnp.isfinite(f_t) & (f_t < bf)
+        bt = jnp.where(better, t, bt)
+        bf = jnp.where(better, f_t, bf)
+        bg = jnp.where(better, g_t, bg)
+        # Quadratic-interpolated backtrack; bisection fallback on a
+        # non-finite trial (overflow territory — pull in hard).
+        denom = 2.0 * (f_t - f0 - gtd0 * t)
+        t_q = jnp.where(jnp.abs(denom) > 1e-20,
+                        -gtd0 * t * t / denom, 0.5 * t)
+        t_new = jnp.clip(t_q, 0.1 * t, 0.5 * t)
+        t_new = jnp.where(jnp.isfinite(f_t) & jnp.isfinite(t_new)
+                          & (t_new > 0), t_new, 0.1 * t)
+        t_new = t_new.astype(dtype)
+        f_n, g_n = phi(t_new)
+        return (t_new, f_n, g_n, it + 1, armijo_ok(t_new, f_n), bt, bf, bg)
+
+    t, f_t, g_t, evals, ok, bt, bf, bg = jax.lax.while_loop(cond, body, s0)
+    # Merge the LAST evaluated trial into the best-seen fallback (the loop
+    # body only folds in the previous trial, so a max_ls exit would
+    # otherwise drop it).
+    better = jnp.isfinite(f_t) & (f_t < bf)
+    bt = jnp.where(better, t, bt)
+    bf = jnp.where(better, f_t, bf)
+    bg = jnp.where(better, g_t, bg)
+    # Fallback chain: Armijo accept -> best decreasing point -> t=0 (exact
+    # no-step; minimize() then wipes the history and retries steepest).
+    t_out = jnp.where(ok, t, bt)
+    f_out = jnp.where(ok, f_t, bf)
+    g_out = jnp.where(ok, g_t, bg)
+    return t_out, f_out, g_out, evals
+
+
 def _two_loop(g, S_hist, Y_hist, rho, n_hist, history):
     """Two-loop recursion: approximate -H^{-1} g from the last n_hist pairs.
 
@@ -471,9 +545,14 @@ def minimize(
             later_t,
         )
 
-        t, f_new, g_new, ls_evals = _strong_wolfe(
-            eval_fn, s.x, t0, d, s.f, s.g, gtd, cfg
-        )
+        if cfg.ls_mode == "armijo":
+            t, f_new, g_new, ls_evals = _armijo_backtrack(
+                eval_fn, s.x, t0, d, s.f, s.g, gtd, cfg
+            )
+        else:
+            t, f_new, g_new, ls_evals = _strong_wolfe(
+                eval_fn, s.x, t0, d, s.f, s.g, gtd, cfg
+            )
 
         # t == 0 (failed line search) must reproduce s.x EXACTLY: with a
         # non-finite direction (NaN gradient entries reaching d), the

@@ -246,6 +246,7 @@ def build_fit_session(cfg: Config, model=None) -> FitSession:
             max_ls=cfg.max_line_search, lr=cfg.lr,
             ftol=cfg.ftol, gtol=cfg.gtol,
             aux_every=cfg.coll_broad_every,
+            ls_mode=cfg.ls_mode,
         ),
         camera_lbfgs=LBFGSConfig(
             max_iters=cfg.maxiters * 2, history=8, lr=cfg.lr,

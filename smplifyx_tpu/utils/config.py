@@ -85,6 +85,13 @@ class Config:
     # every evaluation either way).  The reference rebuilds its BVH every
     # closure evaluation; see fitting/lbfgs.py aux_every for the tradeoff.
     coll_broad_every: int = 1
+    # Line-search algorithm for the body stages: "wolfe" (strong Wolfe,
+    # the reference's lbfgs_ls) or "armijo" (backtracking
+    # sufficient-decrease; ~1-2 objective evaluations per iteration vs ~5
+    # under strong Wolfe on these energies — a throughput knob for
+    # collision-enabled fits where each evaluation carries a full-mesh
+    # forward + narrow phase).
+    ls_mode: str = "wolfe"
     point2plane: bool = False
     ign_part_pairs: List[str] = field(default_factory=list)
 
@@ -209,6 +216,8 @@ class Config:
         if self.format.lower() not in ("coco25", "coco19", "halpe",
                                        "coco_wholebody"):
             raise ValueError(f"Unknown format {self.format}")
+        if self.ls_mode.lower() not in ("wolfe", "armijo"):
+            raise ValueError(f"Unknown ls_mode {self.ls_mode}")
         return self
 
 
