@@ -82,9 +82,13 @@ def run_mono(B, iters, aux_every, refresh, ls_mode="wolfe"):
     res = fit(model, joints_model, frames, x0)
     jax.block_until_ready(res.loss)
     dt = time.perf_counter() - t0
+    ev = np.asarray(res.stage_evals)
     print(json.dumps({"mode": "mono", "B": B, "steady_s": round(dt, 2),
                       "fps": round(B / dt, 2),
-                      "loss_mean": float(np.asarray(res.loss).mean())}),
+                      "loss_mean": float(np.asarray(res.loss).mean()),
+                      "stage_evals_mean": [round(float(m), 1)
+                                           for m in ev.mean(axis=1)],
+                      "stage_evals_max": [int(m) for m in ev.max(axis=1)]}),
           flush=True)
     return B / dt
 
@@ -118,31 +122,36 @@ def run_split(B, iters, aux_every, refresh, ls_mode="wolfe"):
     _ = np.asarray(jnp.zeros(()))  # true-sync dispatch mode (see run_mono)
 
     def one_round():
-        times = []
+        times, evals = [], []
         t0 = time.perf_counter()
         res = fit_head(model, joints_model, frames, x0)
         jax.block_until_ready(res.loss)
         times.append(time.perf_counter() - t0)
+        evals.append(np.asarray(res.stage_evals)[0])
         x = res.x
         for k in (1, 2):
             t0 = time.perf_counter()
             res = fit_stage(model, joints_model, frames, x, stage_sched(k))
             jax.block_until_ready(res.loss)
             times.append(time.perf_counter() - t0)
+            evals.append(np.asarray(res.stage_evals)[0])
             x = res.x
-        return times, res
+        return times, evals, res
 
-    times, res = one_round()   # compile + warmup
+    times, evals, res = one_round()   # compile + warmup
     print(json.dumps({"mode": "split", "B": B,
                       "first_run_s": [round(t, 1) for t in times]}),
           flush=True)
-    times, res = one_round()
+    times, evals, res = one_round()
     total = sum(times)
-    print(json.dumps({"mode": "split", "B": B,
+    print(json.dumps({"mode": "split", "B": B, "ls_mode": options.lbfgs.ls_mode,
                       "steady_s": [round(t, 2) for t in times],
                       "total_s": round(total, 2),
                       "fps": round(B / total, 2),
-                      "loss_mean": float(np.asarray(res.loss).mean())}),
+                      "loss_mean": float(np.asarray(res.loss).mean()),
+                      "stage_evals_mean": [round(float(e.mean()), 1)
+                                           for e in evals],
+                      "stage_evals_max": [int(e.max()) for e in evals]}),
           flush=True)
     return B / total
 

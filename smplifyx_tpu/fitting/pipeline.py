@@ -88,6 +88,12 @@ class FitResult(struct.PyTreeNode):
     camera_loss: jax.Array   # [B] stage-0 final energy
     flipped: jax.Array       # [B] bool: the 180-degree orientation won
     stage_losses: jax.Array  # [S, B] energy after each body stage
+    # Objective evaluations per body stage (winning orientation, like
+    # stage_losses).  Lanes advance in lockstep, so batch wall-clock tracks
+    # the max over lanes; the per-lane counts expose line-search behavior
+    # (strong Wolfe vs Armijo) and convergence spread across the batch.
+    stage_evals: jax.Array   # [S, B] int32
+    camera_evals: jax.Array  # [B] int32, 0 when the camera stage is skipped
 
 
 def fit_batch(
@@ -175,9 +181,11 @@ def fit_batch(
         # camera stage — the flip reuses the fitted camera translation
         # (reference fit_single_frame.py:527-538).
         camera_loss = cam_res.f
+        camera_evals = cam_res.n_evals.astype(jnp.int32)
     else:
         x_cam = x0
         camera_loss = jnp.zeros((B,), x0.dtype)
+        camera_evals = jnp.zeros((B,), jnp.int32)
 
     # ---- optional dual orientation: double the batch -------------------
     if options.try_both_orient:
@@ -251,7 +259,7 @@ def fit_batch(
                                aux_fn=aux_fn, aux_refresh_fn=aux_refresh_fn)
 
             res = jax.vmap(fit_one)(x, frames2)
-            return res.x, res.f
+            return res.x, (res.f, res.n_evals.astype(jnp.int32))
 
         return stage_step
 
@@ -272,15 +280,18 @@ def fit_batch(
 
     x_cur = xs
     loss_chunks = []
+    eval_chunks = []
     for lo, hi, with_coll in groups:
         w_group = jax.tree_util.tree_map(lambda a: a[lo:hi], stage_weights)
-        x_cur, losses = jax.lax.scan(
+        x_cur, (losses, evals) = jax.lax.scan(
             make_stage_step(with_coll), x_cur,
             (jnp.arange(lo, hi), w_group),
         )
         loss_chunks.append(losses)
+        eval_chunks.append(evals)
     x_final = x_cur
     stage_losses = jnp.concatenate(loss_chunks, axis=0)
+    stage_evals = jnp.concatenate(eval_chunks, axis=0)
     final_loss = stage_losses[-1]
 
     # ---- orientation selection -----------------------------------------
@@ -298,13 +309,18 @@ def fit_batch(
         stage_losses_out = jnp.where(
             take_flip[None, :], stage_losses[:, B:], stage_losses[:, :B]
         )
+        stage_evals_out = jnp.where(
+            take_flip[None, :], stage_evals[:, B:], stage_evals[:, :B]
+        )
     else:
         take_flip = jnp.zeros((B,), bool)
         x_out, loss_out, stage_losses_out = x_final, final_loss, stage_losses
+        stage_evals_out = stage_evals
 
     return FitResult(
         x=x_out, loss=loss_out, camera_loss=camera_loss,
         flipped=take_flip, stage_losses=stage_losses_out,
+        stage_evals=stage_evals_out, camera_evals=camera_evals,
     )
 
 

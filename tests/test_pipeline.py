@@ -183,6 +183,11 @@ class TestFitBatch:
         assert res.x.shape == (B, settings.dim)
         assert res.flipped.shape == (B,)
         assert np.isfinite(np.asarray(res.loss)).all()
+        # Work-accounting stats: every executed stage evaluates the
+        # objective at least once per lane, camera stage included.
+        ev = np.asarray(res.stage_evals)
+        assert ev.shape == (2, B) and (ev >= 1).all(), ev
+        assert (np.asarray(res.camera_evals) >= 1).all()
 
 
 class TestParams:
