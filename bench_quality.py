@@ -16,19 +16,23 @@ ambiguity under the production priors, the same ambiguity that puts the
 reference at ~33 mm PA-V2V on real EHF; the reprojection error is the
 directly-optimized quantity and sits at ~2 px.  (The legacy white-noise
 model's floor was ~71 mm because off-keypoint vertices were unobservable.)
-Run:  python bench_quality.py
+Run:  python bench_quality.py [B] [wolfe|armijo] [cpu|tpu]
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def main(B: int = 64, ls_mode: str = "wolfe", platform: str | None = None):
     import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
     import jax.numpy as jnp
 
     try:
@@ -46,7 +50,6 @@ def main():
     from smplifyx_tpu.models.forward import BodyParams, smplx_forward
     from smplifyx_tpu.models.sparse import build_joints_model
 
-    B = 64
     model, settings, frames, x0, joint_map = bench.build_problem(
         B, smooth=True
     )
@@ -81,8 +84,9 @@ def main():
     )
     options = FitOptions(
         lbfgs=LBFGSConfig(max_iters=30, history=10, ftol=1e-9, gtol=1e-9,
-                          ls_soft_accept=6),
-        camera_lbfgs=LBFGSConfig(max_iters=15, history=8, ls_soft_accept=6),
+                          ls_soft_accept=6, ls_mode=ls_mode),
+        camera_lbfgs=LBFGSConfig(max_iters=15, history=8, ls_soft_accept=6,
+                                 ls_mode=ls_mode),
     )
     fit = jax.jit(
         lambda m, jm, f, x: fit_batch(
@@ -119,14 +123,20 @@ def main():
         "metric": "synthetic_gt_pa_v2v_mm",
         "value": round(float(per_frame_mm.mean()), 3),
         "unit": "mm",
+        "ls_mode": ls_mode,
         "p90_mm": round(float(np.percentile(per_frame_mm, 90)), 3),
         "max_mm": round(float(per_frame_mm.max()), 3),
         "reproj_px_mean": round(float(reproj_px.mean()), 3),
         "reproj_px_max": round(float(reproj_px.max()), 3),
+        "stage_evals_mean": [round(float(m), 1)
+                             for m in np.asarray(res.stage_evals).mean(1)],
         "num_frames": B,
         "elapsed_s": round(time.time() - t0, 1),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    a = sys.argv[1:]
+    main(B=int(a[0]) if a else 64,
+         ls_mode=a[1] if len(a) > 1 else "wolfe",
+         platform=a[2] if len(a) > 2 else None)
