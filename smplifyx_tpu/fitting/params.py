@@ -57,6 +57,16 @@ class FitSettings:
     # axis-angle body dofs: 63 for smplx/smplh (21 joints), 69 for smpl
     # (23 joints incl. wrists — reference append_wrists, fitting.py:242-246)
     body_pose_dof: int = struct.field(pytree_node=False, default=63)
+    # Per-group freezing (reference cmd_parser.py:101-110 parses these but
+    # the fork never consumes them — dead flags; here they are live and
+    # implemented as 0-entries in the body-stage gradient mask, which
+    # provably confines L-BFGS directions to the free subspace).
+    # optim_jaw also gates the eye poses: jaw/leye/reye are the face
+    # articulation block and none is observable without face keypoints.
+    optim_shape: bool = struct.field(pytree_node=False, default=True)
+    optim_expression: bool = struct.field(pytree_node=False, default=True)
+    optim_jaw: bool = struct.field(pytree_node=False, default=True)
+    optim_hands: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def body_dim(self) -> int:
@@ -162,9 +172,15 @@ def camera_stage_mask(settings: FitSettings) -> jax.Array:
 
 def body_stage_mask(settings: FitSettings) -> jax.Array:
     """Body stages free all body-model params + pose embedding, but NOT the
-    camera (reference final_params, fit_single_frame.py:554-559)."""
-    names = ["global_orient", "body", "betas", "expression", "jaw",
-             "leye", "reye"]
-    if settings.use_hands:
+    camera (reference final_params, fit_single_frame.py:554-559), minus any
+    group frozen via optim_shape/expression/jaw/hands."""
+    names = ["global_orient", "body"]
+    if settings.optim_shape:
+        names.append("betas")
+    if settings.optim_expression:
+        names.append("expression")
+    if settings.optim_jaw:
+        names += ["jaw", "leye", "reye"]
+    if settings.use_hands and settings.optim_hands:
         names += ["lhand", "rhand"]
     return segment_mask(settings, names)

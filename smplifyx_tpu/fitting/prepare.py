@@ -70,6 +70,10 @@ def settings_from_config(cfg: Config) -> FitSettings:
             "global_scale" if cfg.use_conf_for_camera_init else "none"
         ),
         interpenetration=cfg.interpenetration,
+        optim_shape=cfg.optim_shape,
+        optim_expression=cfg.optim_expression,
+        optim_jaw=cfg.optim_jaw,
+        optim_hands=cfg.optim_hands,
     )
 
 

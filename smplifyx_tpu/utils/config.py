@@ -30,6 +30,7 @@ class Config:
     mesh_folder: str = "meshes"
     model_folder: str = "models"
     prior_folder: str = "prior"
+    summary_folder: str = "summaries"
     vposer_ckpt: str = ""
     part_segm_fn: str = ""
 
@@ -129,6 +130,19 @@ class Config:
     face_joints_weights: Optional[List[float]] = None
     coll_loss_weights: Optional[List[float]] = None
 
+    # Per-group freezing (reference cmd_parser.py:101-110; parsed-but-dead
+    # in the fork, live here: frozen groups become 0-entries in the
+    # body-stage gradient mask, fitting/params.py::body_stage_mask).
+    optim_shape: bool = True
+    optim_expression: bool = True
+    optim_jaw: bool = True
+    optim_hands: bool = True
+    # Main-stage energy selector (reference cmd_parser.py:45,
+    # fitting.py:278-284): 'smplify' is the only end-to-end loss; the
+    # 'camera_init' energy is stage 0 of every fit here
+    # (fitting/energy.py::camera_init_energy), not a standalone run mode.
+    loss_type: str = "smplify"
+
     # --- optimizer
     optim_type: str = "lbfgsls"
     lr: float = 1.0
@@ -189,6 +203,11 @@ class Config:
             "phase has no window assumption (ops/collision.py) and ignores "
             "it — accepted so old configs load"
         ),
+        "summary_folder": (
+            "dead in the reference too: the TensorBoard flag is parsed at "
+            "cmd_parser.py:80-81 and never read; accepted so old configs "
+            "load"
+        ),
     }
 
     @property
@@ -218,6 +237,12 @@ class Config:
             raise ValueError(f"Unknown format {self.format}")
         if self.ls_mode.lower() not in ("wolfe", "armijo"):
             raise ValueError(f"Unknown ls_mode {self.ls_mode}")
+        if self.loss_type.lower() != "smplify":
+            raise ValueError(
+                f"Unknown loss type: {self.loss_type} (the reference's "
+                "other value, 'camera_init', is the built-in stage-0 "
+                "energy, not a run mode)"
+            )
         return self
 
 

@@ -30,6 +30,13 @@ class TestConfig:
         with pytest.raises(ValueError, match="format"):
             Config(format="mpii").validate()
 
+    def test_loss_type(self):
+        """Reference cmd_parser.py:45 / fitting.py:278-284: only 'smplify'
+        drives a full fit; anything else raises like the reference factory."""
+        assert Config(loss_type="smplify").validate().loss_type == "smplify"
+        with pytest.raises(ValueError, match="Unknown loss type"):
+            Config(loss_type="weighted").validate()
+
     def test_cli_overrides(self):
         cfg = parse_cli([
             "--config", "cfg/fit_smplx_combined_coco25.yaml",

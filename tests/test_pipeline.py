@@ -236,6 +236,27 @@ class TestParams:
         assert bm[:3].sum() == 0  # camera frozen in body stages
         assert bm[3:].sum() == settings.dim - 3
 
+    def test_optim_group_freezing(self):
+        """optim_shape/expression/jaw/hands zero the matching mask segments
+        (reference cmd_parser.py:101-110 parses these flags but never reads
+        them; here they are live)."""
+        for flag, segs in [
+            ("optim_shape", ["betas"]),
+            ("optim_expression", ["expression"]),
+            ("optim_jaw", ["jaw", "leye", "reye"]),
+            ("optim_hands", ["lhand", "rhand"]),
+        ]:
+            settings = FitSettings(**{flag: False})
+            bm = np.asarray(body_stage_mask(settings))
+            segments = settings.segments()
+            frozen = np.zeros(settings.dim, bool)
+            for s in segs:
+                off, size = segments[s]
+                frozen[off : off + size] = True
+            assert bm[frozen].sum() == 0, flag
+            # everything else (bar the camera) stays free
+            assert bm[~frozen][3:].sum() == settings.dim - 3 - frozen.sum()
+
     def test_body_params_from_flat(self):
         settings = FitSettings()
         x = jnp.arange(2 * settings.dim, dtype=jnp.float32).reshape(2, -1)
