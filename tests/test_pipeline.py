@@ -189,6 +189,43 @@ class TestFitBatch:
         assert ev.shape == (2, B) and (ev >= 1).all(), ev
         assert (np.asarray(res.camera_evals) >= 1).all()
 
+    def test_frozen_groups_stay_at_init(self, setup):
+        """optim_shape/hands=False must leave betas / hand PCA exactly at
+        their initial values through a full fit while everything else
+        moves."""
+        model, base_settings, joint_map, gt_params, gt_cam_t, frames, _ = setup
+        settings = base_settings.replace(optim_shape=False, optim_hands=False)
+        schedule = build_stage_schedule(
+            body_pose_prior_weights=[4.04e2, 4.78],
+            shape_weights=[1e2, 0.5e1],
+            expr_weights=[1e2, 0.5e1],
+            hand_pose_prior_weights=[1e2, 0.5e1],
+            hand_joints_weights=[0.0, 1.0],
+            face_joints_weights=[0.0, 1.0],
+        )
+        options = FitOptions(
+            lbfgs=LBFGSConfig(max_iters=15, history=8),
+            camera_lbfgs=LBFGSConfig(max_iters=10, history=8),
+        )
+        rng = np.random.default_rng(5)
+        init_betas = jnp.asarray(rng.normal(0, 0.3, (B, 10)), jnp.float32)
+        x0 = pack(settings, cam_t=jnp.zeros((B, 3)),
+                  global_orient=gt_params.global_orient,
+                  body=gt_params.body_pose, betas=init_betas)
+        res = fit_batch(
+            model, settings, options, schedule, frames, x0,
+            identity_decode, joint_map,
+            edge_idxs=jnp.asarray([[5, 12], [2, 9]]),
+        )
+        seg0 = unpack(settings, x0)
+        seg1 = unpack(settings, res.x)
+        np.testing.assert_array_equal(np.asarray(seg1["betas"]),
+                                      np.asarray(seg0["betas"]))
+        np.testing.assert_array_equal(np.asarray(seg1["lhand"]),
+                                      np.asarray(seg0["lhand"]))
+        # the unfrozen pose did move
+        assert float(jnp.abs(seg1["body"] - seg0["body"]).max()) > 1e-4
+
 
 class TestParams:
     def test_pack_unpack_roundtrip(self):
