@@ -90,6 +90,29 @@ def build_problem(B: int, V: int = 10475, smooth: bool = False):
     return model, settings, frames, x0, joint_map
 
 
+def wait_for_backend(retries: int = 3, sleep_s: float = 60.0):
+    """Block until the JAX backend initializes.
+
+    The remote-TPU tunnel intermittently reports UNAVAILABLE for minutes
+    at a time (each failed init attempt itself blocks for a while); a
+    transient outage should delay the benchmark, not fail it.  Progress
+    goes to stderr — stdout stays reserved for the one JSON result line.
+    Re-raises after `retries` failed attempts."""
+    import sys
+
+    import jax
+
+    for attempt in range(retries):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if attempt == retries - 1:
+                raise
+            print(f"backend unavailable ({e}); retry {attempt + 1}/"
+                  f"{retries} in {sleep_s:.0f}s", file=sys.stderr, flush=True)
+            time.sleep(sleep_s)
+
+
 def main():
     import jax
 
@@ -101,6 +124,7 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     except Exception:
         pass
+    wait_for_backend()
     import jax.numpy as jnp
 
     from smplifyx_tpu.fitting.lbfgs import LBFGSConfig
