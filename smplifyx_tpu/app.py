@@ -27,6 +27,7 @@ from typing import Optional
 import numpy as np
 
 from smplifyx_tpu.utils.config import Config, save_config
+from smplifyx_tpu.utils.timing import FitStats
 
 
 @dataclass
@@ -37,6 +38,9 @@ class AppResult:
     mesh_files: list
     elapsed_s: float
     frames_per_sec: float
+    # aggregate work/quality stats (FitStats.summary()); None when no
+    # frame was fitted
+    stats: Optional[dict] = None
 
 
 def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
@@ -129,6 +133,7 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
 
     # --- fit, one batch per gender group
     all_names, all_losses, result_files, mesh_files = [], [], [], []
+    all_evals, all_flipped = [], []
     total_real = 0
     from smplifyx_tpu.fitting.prepare import pad_prepared
     from smplifyx_tpu.models.sparse import build_joints_model
@@ -252,18 +257,33 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
                 )
         all_names.extend(batch.names)
         all_losses.append(losses)
+        all_evals.append(np.asarray(res.stage_evals)[:, : batch.num_real])
+        all_flipped.append(np.asarray(res.flipped)[: batch.num_real])
         total_real += batch.num_real
 
     elapsed = time.time() - t_start
     losses_np = np.concatenate(all_losses)
+    stats = None
+    if all_evals and all(e.shape[0] == all_evals[0].shape[0]
+                         for e in all_evals):
+        stats = FitStats(
+            losses=losses_np,
+            flipped=np.concatenate(all_flipped),
+            stage_evals=np.concatenate(all_evals, axis=1),
+        ).summary()
     if cfg.interactive:
+        evals_txt = (
+            f", evals/stage: {[round(m, 1) for m in stats['stage_evals_mean']]}"
+            if stats else ""
+        )
         print(
             f"fitted {total_real} frame(s) in {elapsed:.2f}s "
             f"({total_real / elapsed:.2f} frames/s), "
-            f"losses: {np.round(losses_np, 2).tolist()}"
+            f"losses: {np.round(losses_np, 2).tolist()}" + evals_txt
         )
     return AppResult(
         names=all_names, losses=losses_np,
         result_files=result_files, mesh_files=mesh_files,
         elapsed_s=elapsed, frames_per_sec=total_real / elapsed,
+        stats=stats,
     )

@@ -69,6 +69,10 @@ class FitStats:
     losses: np.ndarray
     camera_losses: Optional[np.ndarray] = None
     flipped: Optional[np.ndarray] = None
+    # [S, B] objective evaluations per body stage (FitResult.stage_evals):
+    # the line-search work profile; batch wall-clock tracks the per-stage
+    # max over lanes.
+    stage_evals: Optional[np.ndarray] = None
 
     def summary(self) -> dict:
         out = {
@@ -82,4 +86,8 @@ class FitStats:
             out["camera_loss_mean"] = float(np.mean(self.camera_losses))
         if self.flipped is not None:
             out["num_flipped_orientation"] = int(np.sum(self.flipped))
+        if self.stage_evals is not None:
+            ev = np.asarray(self.stage_evals)
+            out["stage_evals_mean"] = [float(m) for m in ev.mean(axis=1)]
+            out["stage_evals_max"] = [int(m) for m in ev.max(axis=1)]
         return out

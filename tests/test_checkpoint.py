@@ -68,7 +68,10 @@ class TestTiming:
         s = FitStats(
             losses=np.array([1.0, 2.0, np.inf]),
             flipped=np.array([True, False, False]),
+            stage_evals=np.array([[10, 20, 30], [5, 5, 5]]),
         )
         out = s.summary()
         assert out["num_nonfinite"] == 1
         assert out["num_flipped_orientation"] == 1
+        assert out["stage_evals_mean"] == [20.0, 5.0]
+        assert out["stage_evals_max"] == [30, 5]
