@@ -270,8 +270,9 @@ def _tiny_png(path, w=64, h=48):
                 + chunk(b"IEND", b""))
 
 
-def _make_data_folder(root, frames):
-    """frames: list of (name, gender_or_None).  Writes images + keypoints."""
+def _make_data_folder(root, frames, num_body_kp=25):
+    """frames: list of (name, gender_or_None).  Writes images + keypoints.
+    num_body_kp: 25 (coco25), 26 (halpe), or 23 (coco_wholebody)."""
     import json
 
     (root / "images").mkdir(parents=True)
@@ -281,7 +282,7 @@ def _make_data_folder(root, frames):
         _tiny_png(root / "images" / f"{name}.png")
         person = {
             "person_id": [-1],
-            "pose_keypoints_2d": rng.uniform(5, 60, 25 * 3).tolist(),
+            "pose_keypoints_2d": rng.uniform(5, 60, num_body_kp * 3).tolist(),
             "hand_left_keypoints_2d": rng.uniform(5, 60, 21 * 3).tolist(),
             "hand_right_keypoints_2d": rng.uniform(5, 60, 21 * 3).tolist(),
             "face_keypoints_2d": rng.uniform(5, 60, 70 * 3).tolist(),
@@ -392,6 +393,30 @@ class TestGenderClassifierEndToEnd:
         for img_dir, keyp_dir in seen:
             assert img_dir.endswith(".png")
             assert keyp_dir.endswith("_keypoints.json")
+
+
+class TestHalpePreset:
+    def test_halpe_format_end_to_end(self, tmp_path):
+        """The 4th reference preset (fit_smplx_combined_halpe.yaml: Halpe-26
+        keypoints, its own body_tri_idxs/init joints) drives a full fit —
+        regression priors disabled so the guess_init camera path runs with
+        the preset's [5,11]/[6,12] torso edges."""
+        _make_data_folder(tmp_path / "d", [("a", None)], num_body_kp=26)
+        cfg = load_config(
+            "cfg/fit_smplx_combined_halpe.yaml",
+            data_folder=str(tmp_path / "d"),
+            output_folder=str(tmp_path / "o"),
+            regression_prior=None, use_camera_prior=False,
+            use_gender_classifier=False, interpenetration=False,
+            use_conf_for_camera_init=False, maxiters=2, interactive=False,
+            synthetic_model=True, synthetic_num_verts=96,
+        )
+        assert cfg.format == "halpe"
+        result = run(cfg)
+        assert result.names == ["a"]
+        assert np.isfinite(result.losses).all()
+        d = load_result_pickle(result.result_files[0])
+        assert d["body_pose"].shape == (1, 63)
 
 
 class TestVisualizeWired:
