@@ -418,6 +418,18 @@ class TestHalpePreset:
         d = load_result_pickle(result.result_files[0])
         assert d["body_pose"].shape == (1, 63)
 
+    def test_coco_wholebody_format_end_to_end(self, tmp_path):
+        """The third supported keypoint format (23 body keypoints,
+        reference data_parser.py:247-282) drives a full fit."""
+        _make_data_folder(tmp_path / "d", [("a", None)], num_body_kp=23)
+        cfg = _base_cfg(tmp_path / "d", tmp_path / "o",
+                        format="coco_wholebody",
+                        body_tri_idxs=[5, 11, 6, 12],
+                        init_joints_idxs=[0, 1, 2, 5, 6, 11, 12])
+        result = run(cfg)
+        assert result.names == ["a"]
+        assert np.isfinite(result.losses).all()
+
 
 class TestVisualizeWired:
     def test_overlay_png_written(self, tmp_path):
