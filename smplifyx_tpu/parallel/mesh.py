@@ -117,16 +117,25 @@ def fit_batch_sharded(
     model = shard_model(model, mesh) if shard_model_axis else replicate(model, mesh)
     stage_weights = replicate(stage_weights, mesh)
     joint_map = replicate(joint_map, mesh)
-    kwargs = {
-        k: (replicate(v, mesh) if isinstance(v, jax.Array) else v)
-        for k, v in kwargs.items()
+    # Non-array kwargs (collision_fn callable, coll_stage_mask tuple, ...)
+    # are trace-time statics — bind them into the jitted partial; array
+    # kwargs replicate over the mesh and stay runtime arguments.
+    static_kwargs = {
+        k: v for k, v in kwargs.items()
+        if not isinstance(v, jax.Array)
+        and not any(isinstance(l, jax.Array)
+                    for l in jax.tree_util.tree_leaves(v))
+    }
+    array_kwargs = {
+        k: replicate(v, mesh) for k, v in kwargs.items()
+        if k not in static_kwargs
     }
 
     fitted = jax.jit(
         partial(fit_batch, settings=settings, options=options,
-                decode_body=decode_body)
+                decode_body=decode_body, **static_kwargs)
     )
     return fitted(
         model, stage_weights=stage_weights, frames=frames, x0=x0,
-        joint_map=joint_map, **kwargs,
+        joint_map=joint_map, **array_kwargs,
     )
