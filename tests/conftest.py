@@ -18,3 +18,18 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    Every XLA:CPU executable holds tens of JIT code-page mmaps; a full-suite
+    run accumulates >65k mappings and segfaults inside LLVM when the process
+    hits vm.max_map_count (default 65530).  Per-module cache clearing bounds
+    the live-executable set; within-module caching (the expensive repeated
+    fit programs) is unaffected."""
+    yield
+    jax.clear_caches()
