@@ -219,6 +219,7 @@ class FitService:
         with self._lock:
             self.batches_dispatched += 1
             self.fits_completed += len(reqs)
+        stage_evals = np.asarray(res.stage_evals)
         for i, req in enumerate(reqs):
             result = {
                 "name": req.record.fn,
@@ -227,6 +228,8 @@ class FitService:
                 "camera_translation": cam_t_np[i].tolist(),
                 "params": {k: v[i].tolist() for k, v in seg_np.items()},
                 "body_pose_decoded": decoded[i].tolist(),
+                # per-stage objective evaluations spent on this lane
+                "stage_evals": stage_evals[:, i].tolist(),
             }
             if verts is not None:
                 result["vertices"] = verts[i].tolist()

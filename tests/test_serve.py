@@ -55,6 +55,7 @@ class TestFitService:
         assert len(res["camera_translation"]) == 3
         assert "body" in res["params"]
         assert res["gender"] == "neutral"
+        assert all(e >= 1 for e in res["stage_evals"])
 
     def test_concurrent_submissions_coalesce(self, service):
         """Concurrent submits land in ONE micro-batch (same compiled
