@@ -164,7 +164,7 @@ if __name__ == "__main__":
     mode = a[3] if len(a) > 3 else "mono"
     ls_mode = a[4] if len(a) > 4 else "wolfe"
     refresh = "iter"
-    if mode == "split":
-        run_split(B, iters, aux_every, refresh, ls_mode)
-    else:
-        run_mono(B, iters, aux_every, refresh, ls_mode)
+    runner = run_split if mode == "split" else run_mono
+    ls_modes = ("wolfe", "armijo") if ls_mode == "both" else (ls_mode,)
+    for ls in ls_modes:
+        runner(B, iters, aux_every, refresh, ls)
