@@ -5,7 +5,9 @@ fits ALL frames simultaneously as one batch with the interpenetration term
 enabled — the configuration the reference fundamentally cannot express
 (its batch size is asserted to 1, fit_single_frame.py:119).
 
-Run:  python examples/video_batch.py [num_frames]
+Run:  python examples/video_batch.py [num_frames] [cpu|tpu]
+(the second arg forces a JAX platform — use `cpu` on machines whose
+default backend is a remote accelerator)
 """
 
 import sys
@@ -17,7 +19,9 @@ import jax
 import jax.numpy as jnp
 
 
-def main(num_frames: int = 32):
+def main(num_frames: int = 32, platform: str | None = None):
+    if platform:
+        jax.config.update("jax_platforms", platform)
     from smplifyx_tpu.fitting.energy import FrameData
     from smplifyx_tpu.fitting.lbfgs import LBFGSConfig
     from smplifyx_tpu.fitting.params import FitSettings, pack
@@ -110,4 +114,5 @@ def main(num_frames: int = 32):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 32)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 32,
+         sys.argv[2] if len(sys.argv) > 2 else None)
