@@ -243,3 +243,23 @@ class TestInteractiveViewer:
         ])
         html = open(out).read()
         assert "frameA" in html and "getContext('webgl')" in html
+
+
+class TestObjWriter:
+    def test_obj_roundtrip(self, tmp_path):
+        from smplifyx_tpu.utils.io import write_obj
+
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=(17, 3)).astype(np.float32)
+        f = rng.integers(0, 17, size=(9, 3)).astype(np.int32)
+        p = tmp_path / "m.obj"
+        write_obj(str(p), v, f)
+        vs, fs = [], []
+        for line in open(p):
+            t = line.split()
+            if t[0] == "v":
+                vs.append([float(x) for x in t[1:]])
+            elif t[0] == "f":
+                fs.append([int(x) - 1 for x in t[1:]])
+        np.testing.assert_allclose(np.array(vs, np.float32), v, rtol=1e-6)
+        np.testing.assert_array_equal(np.array(fs), f)
