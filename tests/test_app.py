@@ -336,6 +336,15 @@ class TestOptimTypeWired:
         with pytest.raises(ValueError, match="not supported"):
             run(cfg)
 
+    def test_armijo_ls_mode_drives_the_fit(self, tmp_path):
+        """cfg.ls_mode reaches LBFGSConfig: the Armijo backtracking line
+        search runs the whole staged fit end-to-end."""
+        _make_data_folder(tmp_path / "d", [("a", None)])
+        cfg = _base_cfg(tmp_path / "d", tmp_path / "o", ls_mode="armijo")
+        result = run(cfg)
+        assert np.isfinite(result.losses).all()
+        assert all(m >= 1 for m in result.stats["stage_evals_mean"])
+
 
 class TestBatchBucketing:
     def test_uneven_gender_groups_share_compilations(self, tmp_path, monkeypatch):
