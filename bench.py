@@ -131,7 +131,11 @@ def main():
     from smplifyx_tpu.fitting.pipeline import FitOptions, fit_batch
     from smplifyx_tpu.fitting.stages import build_stage_schedule
 
-    B = 128  # sweep: 64->120 fps, 128->175, 256->164 (straggler growth)
+    # B=128 measures 130.6 frames/s with true-sync timing (BENCH_r02);
+    # larger batches flatten out as line-search stragglers grow.  (An older
+    # sweep note claiming 175 fps here predated the fake-async timing fix —
+    # see "Timing methodology" in docs/ARCHITECTURE.md.)
+    B = 128
     model, settings, frames, x0, joint_map = build_problem(B)
     from smplifyx_tpu.models.sparse import build_joints_model
 
