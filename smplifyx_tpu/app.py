@@ -255,6 +255,24 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
                 Image.fromarray(overlay).save(
                     osp.join(img_dir, "output.png")
                 )
+                # per-stage overlays (reference fit_single_frame.py:509-520
+                # renders the mesh after every stage)
+                if res.stage_x is not None:
+                    for s in range(res.stage_x.shape[0]):
+                        s_out, _, s_cam_t = recover_outputs(
+                            group_model, settings, res.stage_x[s, i : i + 1],
+                            decode_body, joint_map=None,
+                        )
+                        s_camera = camera._replace(
+                            translation=np.asarray(s_cam_t[0])
+                        )
+                        s_overlay = render_mesh_overlay(
+                            img, np.asarray(s_out.vertices[0]), faces_np,
+                            s_camera, img_size=(H, W),
+                        )
+                        Image.fromarray(s_overlay).save(
+                            osp.join(img_dir, f"stage_{s:02d}.png")
+                        )
         all_names.extend(batch.names)
         all_losses.append(losses)
         all_evals.append(np.asarray(res.stage_evals)[:, : batch.num_real])

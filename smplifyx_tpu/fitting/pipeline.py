@@ -80,6 +80,11 @@ class FitOptions:
     # and poses drift little within one stage.  Saves the batched argsort
     # (the most expensive single broad-phase op) on every refresh.
     coll_morton_persist: bool = struct.field(pytree_node=False, default=True)
+    # Keep the per-stage parameter snapshots ([S, B, D] in
+    # FitResult.stage_x) — the reference's per-stage visualization hook
+    # (fit_single_frame.py:509-520 renders the mesh after every stage).
+    # Off by default: S extra [B, D] buffers are pure overhead otherwise.
+    keep_stage_params: bool = struct.field(pytree_node=False, default=False)
 
 
 class FitResult(struct.PyTreeNode):
@@ -94,6 +99,9 @@ class FitResult(struct.PyTreeNode):
     # (strong Wolfe vs Armijo) and convergence spread across the batch.
     stage_evals: jax.Array   # [S, B] int32
     camera_evals: jax.Array  # [B] int32, 0 when the camera stage is skipped
+    # [S, B, D] params after each stage (winning orientation); None unless
+    # FitOptions.keep_stage_params
+    stage_x: Optional[jax.Array] = None
 
 
 def fit_batch(
@@ -259,7 +267,8 @@ def fit_batch(
                                aux_fn=aux_fn, aux_refresh_fn=aux_refresh_fn)
 
             res = jax.vmap(fit_one)(x, frames2)
-            return res.x, (res.f, res.n_evals.astype(jnp.int32))
+            snap = res.x if options.keep_stage_params else jnp.zeros((0,))
+            return res.x, (res.f, res.n_evals.astype(jnp.int32), snap)
 
         return stage_step
 
@@ -281,17 +290,21 @@ def fit_batch(
     x_cur = xs
     loss_chunks = []
     eval_chunks = []
+    snap_chunks = []
     for lo, hi, with_coll in groups:
         w_group = jax.tree_util.tree_map(lambda a: a[lo:hi], stage_weights)
-        x_cur, (losses, evals) = jax.lax.scan(
+        x_cur, (losses, evals, snaps) = jax.lax.scan(
             make_stage_step(with_coll), x_cur,
             (jnp.arange(lo, hi), w_group),
         )
         loss_chunks.append(losses)
         eval_chunks.append(evals)
+        snap_chunks.append(snaps)
     x_final = x_cur
     stage_losses = jnp.concatenate(loss_chunks, axis=0)
     stage_evals = jnp.concatenate(eval_chunks, axis=0)
+    stage_x = (jnp.concatenate(snap_chunks, axis=0)
+               if options.keep_stage_params else None)
     final_loss = stage_losses[-1]
 
     # ---- orientation selection -----------------------------------------
@@ -312,15 +325,21 @@ def fit_batch(
         stage_evals_out = jnp.where(
             take_flip[None, :], stage_evals[:, B:], stage_evals[:, :B]
         )
+        stage_x_out = (
+            jnp.where(take_flip[None, :, None], stage_x[:, B:], stage_x[:, :B])
+            if stage_x is not None else None
+        )
     else:
         take_flip = jnp.zeros((B,), bool)
         x_out, loss_out, stage_losses_out = x_final, final_loss, stage_losses
         stage_evals_out = stage_evals
+        stage_x_out = stage_x
 
     return FitResult(
         x=x_out, loss=loss_out, camera_loss=camera_loss,
         flipped=take_flip, stage_losses=stage_losses_out,
         stage_evals=stage_evals_out, camera_evals=camera_evals,
+        stage_x=stage_x_out,
     )
 
 

@@ -257,6 +257,10 @@ def build_fit_session(cfg: Config, model=None) -> FitSession:
         side_view_thsh=cfg.side_view_thsh,
         left_shoulder_idx=ls, right_shoulder_idx=rs,
         use_camera_prior=cfg.use_camera_prior and bool(cfg.regression_prior),
+        # Per-stage param snapshots feed the per-stage overlay renders
+        # (reference fit_single_frame.py:509-520); only kept when the app
+        # will actually draw them.
+        keep_stage_params=cfg.visualize,
     )
     edge_idxs = jnp.asarray(cfg.body_tri_pairs)
 

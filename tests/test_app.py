@@ -451,3 +451,9 @@ class TestVisualizeWired:
 
         img = np.asarray(Image.open(png))
         assert img.shape == (48, 64, 3)
+        # per-stage overlays (reference fit_single_frame.py:509-520): one
+        # PNG per body stage of the preset
+        stage_pngs = sorted(
+            (tmp_path / "o" / "images" / "a").glob("stage_*.png")
+        )
+        assert len(stage_pngs) == cfg.num_stages
