@@ -99,7 +99,8 @@ def main(B: int = 64, ls_mode: str = "wolfe", platform: str | None = None):
 
     t0 = time.time()
     res = fit(model_d, jm_d, frames, x0)
-    out, _, _ = recover_outputs(model_d, settings, res.x, lambda b: b)
+    out, params, cam_t = recover_outputs(model_d, settings, res.x,
+                                         lambda b: b)
     jax.block_until_ready(out.vertices)
 
     v2v = np.asarray(procrustes_v2v(out.vertices, gt_out.vertices))
@@ -108,7 +109,6 @@ def main(B: int = 64, ls_mode: str = "wolfe", platform: str | None = None):
     # 2D reprojection of the fitted params against the target keypoints.
     from smplifyx_tpu.ops.camera import CameraParams, project_points
 
-    _, params, cam_t = recover_outputs(model_d, settings, res.x, lambda b: b)
     fit_out = smplx_forward(model_d, params, joint_map=joint_map)
     cam = CameraParams(
         rotation=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
