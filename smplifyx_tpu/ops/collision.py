@@ -319,9 +319,11 @@ def make_collision_fn(
     self-touching human (tests/test_collision_oracle.py): ~4.0k superblock
     pairs, ~12.4k block pairs, ~1.6k final pairs — defaults carry ~2x
     margins.  All compactions use the top_k-based `_compact` (see its
-    docstring for why top_k and not cumsum/nonzero/scatter); every mask is
-    evaluated per-coordinate so vmapped temps stay [*, P, 8, 8] bools,
-    never [*, P, 8, 8, 3] floats.
+    docstring for why top_k and not cumsum/nonzero/scatter); every 8x8 pair
+    mask is computed directly in flat [*, P, 64] layout and every packed
+    table gather returns [*, P, C*8] — trailing-8 axes pad 14-64x under TPU
+    (8,128)/(32,128) tiling, which is what previously capped
+    collision-enabled batches at B=32 (see the level-1 layout comment).
 
     The returned callable exposes:
       .candidate_pairs(vertices) -> (idx_a [P], idx_b [P], valid [P])
@@ -472,12 +474,31 @@ def make_collision_fn(
 
         # ---- level 1: 8x8 block refinement ------------------------------
         # Every per-block column (AABB min/max xyz, uniformity, part,
-        # parent) is PACKED into one [ns, _SUP * C] table so each side of a
+        # parent) is PACKED into one [ns, C * _SUP] table so each side of a
         # superblock pair costs ONE row gather.  Gathers serialize on the
         # TPU scalar core at ~10 ns per ROW-lane with near-zero width
         # sensitivity, so 12+ separate [Ps, 8] gathers cost 12x one packed
-        # [Ps, 8*C] gather — packing levels 1-2 this way took the B=32
-        # broad phase from 232 ms to (see docs/ARCHITECTURE.md).
+        # [Ps, C*8] gather — packing levels 1-2 this way took the B=32
+        # broad phase from 232 ms to 8.4 ms/lane (docs/ARCHITECTURE.md).
+        #
+        # LAYOUT: fields are laid out as contiguous 8-wide groups along the
+        # LAST axis ([ns, C*8], field k at columns [k*8, (k+1)*8)), and every
+        # 8x8 pair mask is computed directly in flat [N, 64] form (column
+        # i*8+j = block i of side A vs block j of side B).  TPU tiles pad
+        # the trailing two axes to (8, 128) for f32 and (32, 128) for bools:
+        # a batched [B, N, 8, C] f32 gather output pads ~14x and a
+        # [B, N, 8, 8] bool mask pads 64x — these temps were what capped
+        # collision-enabled batches at B=32.  [B, N, C*8] f32 (<=1.8x pad)
+        # and [B, N, 64] bool (2x pad) restore B=64/128 headroom with
+        # bit-identical results (same flat survivor order).
+        def _ea(v):
+            """A-side expansion [N, 8] -> [N, 64]: col i*8+j -> v[:, i]."""
+            return jnp.repeat(v, _SUP, axis=1)
+
+        def _eb(v):
+            """B-side expansion [N, 8] -> [N, 64]: col i*8+j -> v[:, j]."""
+            return jnp.tile(v, (1, _SUP))
+
         def sup_rows(col):                              # [nb] -> [ns, _SUP]
             return jnp.concatenate(
                 [col, jnp.full((spad,), col[-1])]).reshape(ns, _SUP)
@@ -488,46 +509,49 @@ def make_collision_fn(
             sup_cols += [sup_rows(buni.astype(fp32)),
                          sup_rows(bseg.astype(fp32)),
                          sup_rows(bpar.astype(fp32))]
-        sup_tab = jnp.stack(sup_cols, axis=-1)          # [ns, _SUP, C]
+        sup_tab = jnp.concatenate(sup_cols, axis=1)     # [ns, C*8]
 
         def blk_mask(si_, sj_, valid_):
-            """[N] superblock-pair ids -> [N, 8, 8] surviving block-pair
+            """[N] superblock-pair ids -> [N, 64] surviving block-pair
             mask (AABB overlap, rank order, conservative uniform-part
-            filter).  One packed row gather per pair side."""
-            ba_ = si_[:, None] * _SUP + jnp.arange(_SUP)[None, :]  # [N, 8]
-            bb_ = sj_[:, None] * _SUP + jnp.arange(_SUP)[None, :]
-            m = (valid_[:, None, None]
-                 & (ba_[:, :, None] <= bb_[:, None, :])
-                 & (ba_ < nb)[:, :, None] & (bb_ < nb)[:, None, :])
-            A_ = sup_tab[si_]                           # [N, 8, C]
+            filter).  One packed row gather per pair side; flat col i*8+j
+            pairs block i (A side) with block j (B side)."""
+            ii = jnp.arange(_SUP * _SUP) // _SUP        # [64]
+            jj = jnp.arange(_SUP * _SUP) % _SUP
+            ba_ = si_[:, None] * _SUP + ii[None, :]     # [N, 64]
+            bb_ = sj_[:, None] * _SUP + jj[None, :]
+            m = valid_[:, None] & (ba_ <= bb_) & (ba_ < nb) & (bb_ < nb)
+            A_ = sup_tab[si_]                           # [N, C*8]
             B_ = sup_tab[sj_]
             for k in range(3):
-                m &= (B_[:, None, :, k] <= A_[:, :, None, 3 + k]) \
-                    & (B_[:, None, :, 3 + k] >= A_[:, :, None, k])
+                m &= (_eb(B_[:, k * 8:(k + 1) * 8])
+                      <= _ea(A_[:, (3 + k) * 8:(4 + k) * 8])) \
+                    & (_eb(B_[:, (3 + k) * 8:(4 + k) * 8])
+                       >= _ea(A_[:, k * 8:(k + 1) * 8]))
             if segm_j is not None:
-                ua = A_[..., 6] > 0.5                   # [N, 8]
-                ub = B_[..., 6] > 0.5
-                dropb = (ua[:, :, None] & ub[:, None, :]) & rel_drop(
-                    A_[..., 7][:, :, None], A_[..., 8][:, :, None],
-                    B_[..., 7][:, None, :], B_[..., 8][:, None, :],
+                ua = _ea(A_[:, 48:56] > 0.5)            # [N, 64]
+                ub = _eb(B_[:, 48:56] > 0.5)
+                dropb = (ua & ub) & rel_drop(
+                    _ea(A_[:, 56:64]), _ea(A_[:, 64:72]),
+                    _eb(B_[:, 56:64]), _eb(B_[:, 64:72]),
                 )
                 m &= ~dropb
             return m
 
-        mb = blk_mask(si, sj, validS)                   # [Ps, 8, 8]
+        mb = blk_mask(si, sj, validS)                   # [Ps, 64]
 
         # Two-stage compaction (same trick as the final level): superblock
         # pairs CARRYING a surviving block pair are far rarer than block
         # slots, so compact those rows first and recompute their 8x8 masks
         # — the expensive top_k then runs over [Phs * 64] instead of
         # [Ps * 64] elements (half the size at the defaults).
-        hit_s = jnp.any(mb, axis=(1, 2))                # [Ps]
+        hit_s = jnp.any(mb, axis=1)                     # [Ps]
         posHS, validHS = _compact(hit_s, Phs)
         sij = jnp.stack([si_f, sj_f], axis=-1)          # [Ps, 2]
         g_hs = sij[posHS]                               # [Phs, 2] one gather
         si_h = g_hs[:, 0].astype(jnp.int32)
         sj_h = g_hs[:, 1].astype(jnp.int32)
-        mb_h = blk_mask(si_h, sj_h, validHS)            # [Phs, 8, 8]
+        mb_h = blk_mask(si_h, sj_h, validHS)            # [Phs, 64]
         posB, validB = _compact(mb_h.reshape(-1), Pb)
         pi = posB // (_SUP * _SUP)
         wb_ = posB % (_SUP * _SUP)
@@ -543,33 +567,39 @@ def make_collision_fn(
         bj = bj_f.astype(jnp.int32)
 
         # ---- level 2: 8x8 triangle refinement ---------------------------
-        # Same packing trick as level 1: one [nb, _BLK, C] table, one row
-        # gather per side per call.
+        # Same packing trick as level 1: one [nb, C*8] table, one row
+        # gather per side per call (C=8 -> exactly 64 columns, no padding
+        # within the tile beyond the 128-lane round-up).
         blk_cols = [amin_s[:, k].reshape(nb, _BLK) for k in range(3)] \
             + [amax_s[:, k].reshape(nb, _BLK) for k in range(3)]
         if segm_j is not None:
             blk_cols += [sgb.astype(fp32), prb.astype(fp32)]
-        blk_tab = jnp.stack(blk_cols, axis=-1)          # [nb, _BLK, C]
+        blk_tab = jnp.concatenate(blk_cols, axis=1)     # [nb, C*8]
 
         def tri_mask(bi_, bj_, valid_):
-            """[N] block-pair ids -> [N, 8, 8] surviving triangle-pair mask
-            (AABB overlap, rank order, exact FilterFaces part test)."""
-            ra_ = bi_[:, None] * _BLK + jnp.arange(_BLK)[None, :]
-            rb_ = bj_[:, None] * _BLK + jnp.arange(_BLK)[None, :]
-            m = valid_[:, None, None] & (ra_[:, :, None] < rb_[:, None, :])
-            A_ = blk_tab[bi_]                           # [N, 8, C] one gather
+            """[N] block-pair ids -> [N, 64] surviving triangle-pair mask
+            (AABB overlap, rank order, exact FilterFaces part test); flat
+            col i*8+j pairs triangle rank i (A side) with rank j (B side)."""
+            ii = jnp.arange(_BLK * _BLK) // _BLK        # [64]
+            jj = jnp.arange(_BLK * _BLK) % _BLK
+            ra_ = bi_[:, None] * _BLK + ii[None, :]     # [N, 64]
+            rb_ = bj_[:, None] * _BLK + jj[None, :]
+            m = valid_[:, None] & (ra_ < rb_)
+            A_ = blk_tab[bi_]                           # [N, C*8] one gather
             B_ = blk_tab[bj_]
             for k in range(3):
-                m &= (B_[:, None, :, k] <= A_[:, :, None, 3 + k]) \
-                    & (B_[:, None, :, 3 + k] >= A_[:, :, None, k])
+                m &= (_eb(B_[:, k * 8:(k + 1) * 8])
+                      <= _ea(A_[:, (3 + k) * 8:(4 + k) * 8])) \
+                    & (_eb(B_[:, (3 + k) * 8:(4 + k) * 8])
+                       >= _ea(A_[:, k * 8:(k + 1) * 8]))
             if segm_j is not None:
                 m &= ~rel_drop(
-                    A_[..., 6][:, :, None], A_[..., 7][:, :, None],
-                    B_[..., 6][:, None, :], B_[..., 7][:, None, :],
+                    _ea(A_[:, 48:56]), _ea(A_[:, 56:64]),
+                    _eb(B_[:, 48:56]), _eb(B_[:, 56:64]),
                 )
             return m
 
-        mt = tri_mask(bi, bj, validB)                   # [Pb, 8, 8]
+        mt = tri_mask(bi, bj, validB)                   # [Pb, 64]
 
         # ---- final compaction to the narrow-phase budget ----------------
         # Two-stage: the flat [Pb * 64] mask is the single most expensive
@@ -582,14 +612,14 @@ def make_collision_fn(
         # copy) and run the big compaction over them — a ~7x smaller top_k,
         # lossless while hit-carrying block pairs <= Ph (asserted with
         # margin by the budget-headroom test).
-        hit = jnp.any(mt, axis=(1, 2))                  # [Pb]
+        hit = jnp.any(mt, axis=1)                       # [Pb]
         posH, validH = _compact(hit, Ph)
         bij = jnp.stack([bi_f, bj_f], axis=-1)          # [Pb, 2]
         gh = bij[posH]                                  # [Ph, 2] one gather
         bi_h_f = gh[:, 0]
         bj_h_f = gh[:, 1]
         mt_h = tri_mask(bi_h_f.astype(jnp.int32), bj_h_f.astype(jnp.int32),
-                        validH)                         # [Ph, 8, 8]
+                        validH)                         # [Ph, 64]
         posT, validT = _compact(mt_h.reshape(-1), P)
         th = posT // (_BLK * _BLK)                      # index into Ph
         wt = posT % (_BLK * _BLK)

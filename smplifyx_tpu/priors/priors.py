@@ -58,8 +58,11 @@ def _gmm_from_arrays(means: np.ndarray, covs: np.ndarray, weights: np.ndarray,
                      dtype=jnp.float32) -> GMMPrior:
     precisions = np.stack([np.linalg.inv(c) for c in covs])
     sqrdets = np.array([np.sqrt(np.linalg.det(c)) for c in covs])
-    dim = means.shape[1]
-    const = (2 * np.pi) ** (dim / 2.0)
+    # Reference quirk, preserved for loss-level parity: prior.py:154 hardcodes
+    # the Gaussian normalizer exponent to 69 (the SMPL body-pose dim) even
+    # when the mixture has another dimensionality — a pure constant offset of
+    # ((69 - D)/2) * log(2*pi) on the NLL, no gradient effect.
+    const = (2 * np.pi) ** (69 / 2.0)
     nll_weights = weights / (const * (sqrdets / sqrdets.min()))
     return GMMPrior(
         means=jnp.asarray(means, dtype=dtype),

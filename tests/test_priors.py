@@ -11,7 +11,9 @@ def np_gmm_nll(means, covs, weights, pose):
     K, D = means.shape
     precs = np.stack([np.linalg.inv(c) for c in covs])
     sqrdets = np.array([np.sqrt(np.linalg.det(c)) for c in covs])
-    const = (2 * np.pi) ** (D / 2.0)
+    # exponent hardcoded to 69 like the reference (prior.py:154) — a pure
+    # constant NLL offset the implementation preserves for loss parity
+    const = (2 * np.pi) ** (69 / 2.0)
     nll_w = weights / (const * (sqrdets / sqrdets.min()))
     lls = []
     for k in range(K):
