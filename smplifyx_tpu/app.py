@@ -197,6 +197,29 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
             os.makedirs(frame_result_dir, exist_ok=True)
             H, W = batch.img_sizes[i]
             pkl_path = osp.join(frame_result_dir, "000.pkl")
+            stage_dicts = None
+            if res.stage_x is not None:
+                # Per-stage snapshots ride the pickle so the WebGL viewer
+                # can scrub the optimization (reference mesh_viewer live
+                # updates, mesh_viewer.py:82-97).
+                seg_s = unpack(settings, res.stage_x[:, i])
+                dec_s = np.asarray(decode_body(seg_s["body"]))
+                stage_dicts = [
+                    {
+                        "camera_translation": np.asarray(seg_s["cam_t"][s]),
+                        "global_orient": np.asarray(
+                            seg_s["global_orient"][s]),
+                        "body_pose": dec_s[s],
+                        "betas": np.asarray(seg_s["betas"][s]),
+                        "expression": np.asarray(seg_s["expression"][s]),
+                        "jaw_pose": np.asarray(seg_s["jaw"][s]),
+                        "leye_pose": np.asarray(seg_s["leye"][s]),
+                        "reye_pose": np.asarray(seg_s["reye"][s]),
+                        "left_hand_pose": np.asarray(seg_s["lhand"][s]),
+                        "right_hand_pose": np.asarray(seg_s["rhand"][s]),
+                    }
+                    for s in range(res.stage_x.shape[0])
+                ]
             save_result_pickle(
                 pkl_path,
                 camera_translation=cam_t_np[i],
@@ -215,6 +238,7 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
                 },
                 body_pose=decoded_pose[i],
                 loss=float(losses[i]),
+                stages=stage_dicts,
             )
             result_files.append(pkl_path)
 

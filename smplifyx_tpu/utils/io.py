@@ -143,10 +143,16 @@ def save_result_pickle(
     params: dict,
     body_pose: np.ndarray,
     loss: float | None = None,
+    stages: list[dict] | None = None,
 ) -> None:
     """Persist the fit result in the reference's pickle schema
     (fit_single_frame.py:644-668): camera_* entries, image metadata, every
-    model parameter, and the decoded body_pose."""
+    model parameter, and the decoded body_pose.
+
+    stages: optional per-stage parameter snapshots (same keys as `params`
+    plus camera_translation/body_pose), stored under an ADDITIVE "stages"
+    key — the during-fit trajectory the reference shows live in its
+    MeshViewer (mesh_viewer.py:82-97); viz/viewer.py --stages scrubs it."""
     result = {
         "camera_rotation": np.eye(3, dtype=np.float32)[None],
         "camera_translation": np.asarray(camera_translation, np.float32).reshape(1, 3),
@@ -156,6 +162,11 @@ def save_result_pickle(
     }
     if loss is not None:
         result["loss"] = float(loss)
+    if stages is not None:
+        result["stages"] = [
+            {k: np.asarray(v, np.float32) for k, v in st.items()}
+            for st in stages
+        ]
     for key, val in params.items():
         result[key] = np.asarray(val, np.float32)[None] if np.ndim(val) == 1 \
             else np.asarray(val, np.float32)

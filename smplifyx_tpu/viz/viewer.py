@@ -280,6 +280,11 @@ def main(argv=None):
     p.add_argument("--gender", default="neutral")
     p.add_argument("--synthetic_model", action="store_true")
     p.add_argument("--synthetic_num_verts", type=int, default=10475)
+    p.add_argument("--stages", action="store_true",
+                   help="add one frame per optimization stage from the "
+                        "pickle's 'stages' snapshots (written when the fit "
+                        "ran with visualize) — scrub the fit like the "
+                        "reference's live MeshViewer (mesh_viewer.py:82-97)")
     args = p.parse_args(argv)
 
     import jax
@@ -307,15 +312,13 @@ def main(argv=None):
     assert pkls, f"no result pickles under {args.results}"
 
     faces = np.asarray(model.faces)
-    meshes = []
-    for pkl in pkls:
-        d = load_result_pickle(pkl)
 
+    def params_of(d):
         def get(key, size):
             v = np.asarray(d[key], np.float32).reshape(1, -1)
             return jnp.asarray(v[:, :size])
 
-        params = BodyParams(
+        return BodyParams(
             global_orient=get("global_orient", 3),
             body_pose=get("body_pose", 63),
             betas=get("betas", model.num_betas),
@@ -326,15 +329,27 @@ def main(argv=None):
             left_hand_pose=get("left_hand_pose", model.num_pca),
             right_hand_pose=get("right_hand_pose", model.num_pca),
         )
-        out = smplx_forward(model, params)
-        verts = np.asarray(out.vertices[0])
-        # match the reference viewer's upright convention
-        # (mesh_viewer-style 180deg about x happens in the orbit, not data)
-        meshes.append({
-            "name": osp.basename(osp.dirname(pkl)),
-            "vertices": verts,
-            "faces": faces,
-        })
+
+    meshes = []
+    for pkl in pkls:
+        d = load_result_pickle(pkl)
+        name = osp.basename(osp.dirname(pkl))
+        records = []
+        if args.stages and d.get("stages"):
+            records += [(f"{name}/stage{s:02d}", st)
+                        for s, st in enumerate(d["stages"])]
+        records.append((f"{name}/final" if records else name, d))
+        for frame_name, rec in records:
+            out = smplx_forward(model, params_of(rec))
+            verts = np.asarray(out.vertices[0])
+            # match the reference viewer's upright convention
+            # (mesh_viewer-style 180deg about x happens in the orbit, not
+            # data)
+            meshes.append({
+                "name": frame_name,
+                "vertices": verts,
+                "faces": faces,
+            })
 
     out_path = export_viewer_html(meshes, args.out)
     print(out_path)

@@ -457,3 +457,15 @@ class TestVisualizeWired:
             (tmp_path / "o" / "images" / "a").glob("stage_*.png")
         )
         assert len(stage_pngs) == cfg.num_stages
+        # per-stage parameter snapshots ride the result pickle so
+        # `viz.viewer --stages` can scrub the optimization
+        from smplifyx_tpu.utils.io import load_result_pickle
+
+        d = load_result_pickle(
+            str(tmp_path / "o" / "results" / "a" / "000.pkl"))
+        assert len(d["stages"]) == cfg.num_stages
+        st = d["stages"][0]
+        for key in ("camera_translation", "global_orient", "body_pose",
+                    "betas", "left_hand_pose"):
+            assert key in st, key
+        assert st["body_pose"].shape[-1] == 63
