@@ -41,6 +41,11 @@ from smplifyx_tpu.session import FitSession, build_fit_session
 from smplifyx_tpu.utils.config import Config
 
 
+class ServiceOverloadedError(RuntimeError):
+    """Raised by submit() when the bounded request queue is full — the
+    backpressure signal (HTTP frontend maps it to 503)."""
+
+
 @dataclass
 class FitRequest:
     record: FrameRecord
@@ -58,13 +63,20 @@ class FitService:
         max_wait_s: float = 0.25,
         include_vertices: bool = False,
         default_gender: Optional[str] = None,
+        max_queue: int = 0,
     ):
+        """max_queue bounds the pending-request queue (0 = unbounded);
+        submit() on a full queue raises ServiceOverloadedError instead of
+        letting latency grow without bound (load-shedding backpressure —
+        clients see an immediate 503 and can retry elsewhere)."""
         self.session = session
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_s)
         self.include_vertices = include_vertices
         self.default_gender = default_gender or session.cfg.gender
-        self._queue: "queue.Queue[Optional[FitRequest]]" = queue.Queue()
+        self._queue: "queue.Queue[Optional[FitRequest]]" = queue.Queue(
+            maxsize=int(max_queue)
+        )
         self._models = {}          # gender -> (device model, joints model)
         self._joint_weights = session.joint_weights()
         self._lock = threading.Lock()
@@ -86,7 +98,12 @@ class FitService:
         """Enqueue one frame; the Future resolves to a result dict
         {name, loss, params: {...}, camera_translation[, vertices]}."""
         req = FitRequest(record=record, gender=gender)
-        self._queue.put(req)
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            raise ServiceOverloadedError(
+                f"request queue full ({self._queue.maxsize} pending)"
+            ) from None
         return req.future
 
     def fit(self, record: FrameRecord, gender: Optional[str] = None,
@@ -299,6 +316,9 @@ def serve_http(service: FitService, host: str = "127.0.0.1", port: int = 0):
                     timeout=float(payload.get("timeout_s", 300.0)),
                 )
                 self._send(200, result)
+            except ServiceOverloadedError as e:
+                self._send(503, {"error": f"overloaded: {e}",
+                                 "retry_after_s": service.max_wait_s})
             except Exception as e:
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 

@@ -19,6 +19,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's big staged-fit programs take
+# tens of seconds each to compile on XLA:CPU, and the per-module
+# clear_caches() below (needed to bound JIT code-page mmaps) would force
+# structurally-identical programs to recompile in later modules.  The disk
+# cache survives clear_caches() and across suite runs, cutting the fast
+# tier's wall clock several-fold after the first run.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 

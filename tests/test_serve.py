@@ -149,3 +149,94 @@ class TestHTTP:
             assert ei.value.code == 400
         finally:
             server.shutdown()
+
+
+class TestBackpressure:
+    """Bounded-queue load shedding: submit() raises ServiceOverloadedError
+    when max_queue requests are already pending, and the HTTP frontend maps
+    it to 503 with a retry hint."""
+
+    @pytest.fixture()
+    def blocked_service(self, service):
+        """A second FitService sharing the module session (no recompiles),
+        with a 2-deep queue and its _fit_group gated on an event so the
+        test controls exactly when the worker drains."""
+        import threading as _t
+
+        from smplifyx_tpu.serve import FitService
+
+        svc = FitService(service.session, max_batch=1, max_wait_s=0.01,
+                         max_queue=2)
+        entered = _t.Event()
+        release = _t.Event()
+        orig = svc._fit_group
+
+        def gated(gender, reqs):
+            entered.set()
+            assert release.wait(timeout=120)
+            return orig(gender, reqs)
+
+        svc._fit_group = gated
+        yield svc, entered, release
+        release.set()
+        svc.stop()
+
+    def test_submit_sheds_load_when_full(self, blocked_service):
+        from smplifyx_tpu.serve import ServiceOverloadedError
+
+        svc, entered, release = blocked_service
+        f1 = svc.submit(make_record(50))      # worker picks this up...
+        assert entered.wait(timeout=60)       # ...and blocks inside the fit
+        f2 = svc.submit(make_record(51))      # queue slot 1
+        f3 = svc.submit(make_record(52))      # queue slot 2 (full now)
+        with pytest.raises(ServiceOverloadedError):
+            svc.submit(make_record(53))
+        release.set()
+        for f in (f1, f2, f3):
+            assert np.isfinite(f.result(timeout=300)["loss"])
+
+    def test_http_503_when_overloaded(self, blocked_service):
+        svc, entered, release = blocked_service
+        server = serve_http(svc, port=0)
+        try:
+            host, port = server.server_address[:2]
+            base = f"http://{host}:{port}"
+            payload = lambda i: json.dumps({  # noqa: E731
+                "keypoints": make_record(i).keypoints[0].tolist(),
+                "image_size": [640, 640], "name": f"bp_{i}",
+            }).encode()
+
+            def post_async(i):
+                req = urllib.request.Request(
+                    base + "/fit", data=payload(i),
+                    headers={"Content-Type": "application/json"})
+                t = threading.Thread(
+                    target=lambda: urllib.request.urlopen(req, timeout=300)
+                    .read(), daemon=True)
+                t.start()
+                return t
+
+            threads = [post_async(60)]
+            assert entered.wait(timeout=60)
+            threads += [post_async(61), post_async(62)]
+            # wait until both queue slots are really occupied
+            deadline = __import__("time").monotonic() + 30
+            while (svc._queue.qsize() < 2
+                   and __import__("time").monotonic() < deadline):
+                __import__("time").sleep(0.01)
+            assert svc._queue.qsize() == 2
+            req = urllib.request.Request(
+                base + "/fit", data=payload(63),
+                headers={"Content-Type": "application/json"})
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req, timeout=30)
+            assert exc.value.code == 503
+            body = json.loads(exc.value.read())
+            assert "overloaded" in body["error"]
+            assert "retry_after_s" in body
+            release.set()
+            for t in threads:
+                t.join(timeout=300)
+        finally:
+            release.set()
+            server.shutdown()
