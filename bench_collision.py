@@ -1,7 +1,7 @@
 """Collision-on throughput bench: staged fit with the interpenetration term.
 
 Usage: python bench_collision.py [B] [iters_per_stage] [coll_broad_every]
-                                 [mono|split] [wolfe|armijo]
+                                 [mono|split] [wolfe|armijo] [max_evals]
 
 Companion to bench.py (which reports the flagship collision-off number):
 SMPL-X-scale faces (20908 tris) + synthetic parts segmentation, 3-stage
@@ -20,7 +20,7 @@ timing sums the dispatches.
 import json, sys, time
 import numpy as np
 
-def build(B, iters, aux_every, refresh, ls_mode="wolfe"):
+def build(B, iters, aux_every, refresh, ls_mode="wolfe", max_evals=0):
     import jax, jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
@@ -51,18 +51,18 @@ def build(B, iters, aux_every, refresh, ls_mode="wolfe"):
     options = FitOptions(
         lbfgs=LBFGSConfig(max_iters=iters, history=16, ftol=1e-9, gtol=1e-9,
                           ls_soft_accept=6, aux_every=aux_every,
-                          ls_mode=ls_mode),
+                          ls_mode=ls_mode, max_evals=max_evals),
         camera_lbfgs=LBFGSConfig(max_iters=10, history=8, ls_soft_accept=6),
         coll_broad_refresh=refresh)
     return (jax, jnp, model, settings, frames, x0, joint_map, joints_model,
             collision_fn, schedule, options)
 
 
-def run_mono(B, iters, aux_every, refresh, ls_mode="wolfe"):
+def run_mono(B, iters, aux_every, refresh, ls_mode="wolfe", max_evals=0):
     from smplifyx_tpu.fitting.pipeline import fit_batch
     (jax, jnp, model, settings, frames, x0, joint_map, joints_model,
      collision_fn, schedule, options) = build(B, iters, aux_every, refresh,
-                                              ls_mode)
+                                              ls_mode, max_evals)
     fit = jax.jit(lambda m, jm, fr, x: fit_batch(
         m, settings, options, schedule, fr, x, lambda b: b, joint_map,
         edge_idxs=jnp.asarray([[5, 12], [2, 9]]), joints_model=jm,
@@ -93,12 +93,12 @@ def run_mono(B, iters, aux_every, refresh, ls_mode="wolfe"):
     return B / dt
 
 
-def run_split(B, iters, aux_every, refresh, ls_mode="wolfe"):
+def run_split(B, iters, aux_every, refresh, ls_mode="wolfe", max_evals=0):
     import jax.tree_util as jtu
     from smplifyx_tpu.fitting.pipeline import fit_batch
     (jax, jnp, model, settings, frames, x0, joint_map, joints_model,
      collision_fn, schedule, options) = build(B, iters, aux_every, refresh,
-                                              ls_mode)
+                                              ls_mode, max_evals)
 
     def head_sched():
         return jtu.tree_map(lambda a: a[0:1], schedule)
@@ -163,8 +163,9 @@ if __name__ == "__main__":
     aux_every = int(a[2]) if len(a) > 2 else 8
     mode = a[3] if len(a) > 3 else "mono"
     ls_mode = a[4] if len(a) > 4 else "wolfe"
+    max_evals = int(a[5]) if len(a) > 5 else 0
     refresh = "iter"
     runner = run_split if mode == "split" else run_mono
     ls_modes = ("wolfe", "armijo") if ls_mode == "both" else (ls_mode,)
     for ls in ls_modes:
-        runner(B, iters, aux_every, refresh, ls)
+        runner(B, iters, aux_every, refresh, ls, max_evals)

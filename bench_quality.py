@@ -28,7 +28,22 @@ import time
 import numpy as np
 
 
-def main(B: int = 64, ls_mode: str = "wolfe", platform: str | None = None):
+def _git_sha() -> str:
+    import os.path as osp
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "-C", osp.dirname(osp.abspath(__file__)), "rev-parse",
+             "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def main(B: int = 64, ls_mode: str = "wolfe", platform: str | None = None,
+         out_path: str | None = None):
     import jax
 
     if platform:
@@ -119,11 +134,13 @@ def main(B: int = 64, ls_mode: str = "wolfe", platform: str | None = None):
         jnp.sqrt(jnp.sum((proj - frames.gt_joints) ** 2, -1))
     ).mean(-1)
 
-    print(json.dumps({
+    record = {
         "metric": "synthetic_gt_pa_v2v_mm",
         "value": round(float(per_frame_mm.mean()), 3),
         "unit": "mm",
         "ls_mode": ls_mode,
+        "platform": jax.devices()[0].platform,
+        "git": _git_sha(),
         "p90_mm": round(float(np.percentile(per_frame_mm, 90)), 3),
         "max_mm": round(float(per_frame_mm.max()), 3),
         "reproj_px_mean": round(float(reproj_px.mean()), 3),
@@ -131,12 +148,23 @@ def main(B: int = 64, ls_mode: str = "wolfe", platform: str | None = None):
         "stage_evals_mean": [round(float(m), 1)
                              for m in np.asarray(res.stage_evals).mean(1)],
         "num_frames": B,
+        "num_verts": int(model.v_template.shape[0]),
         "elapsed_s": round(time.time() - t0, 1),
-    }))
+    }
+    print(json.dumps(record))
+    if out_path:
+        # Per-round committed artifact (QUALITY_r0N.json):
+        # tests/test_quality_artifact.py asserts the calibrated thresholds
+        # on the latest one, so a TPU-numerics quality regression between
+        # rounds fails the suite instead of passing silently.
+        with open(out_path, "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
 
 
 if __name__ == "__main__":
     a = sys.argv[1:]
     main(B=int(a[0]) if a else 64,
          ls_mode=a[1] if len(a) > 1 else "wolfe",
-         platform=a[2] if len(a) > 2 else None)
+         platform=a[2] if len(a) > 2 else None,
+         out_path=a[3] if len(a) > 3 else None)
