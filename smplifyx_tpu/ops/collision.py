@@ -281,10 +281,10 @@ def make_collision_fn(
     window: int = 0,                        # deprecated, ignored (see below)
     max_pairs: int = 4096,
     # Oracle-measured survivors on the contact-heavy proxy mesh: ~4.0k
-    # superblock, ~12.4k block, ~1.6k hit-carrying / final pairs; every
-    # default budget keeps >= 2x headroom (asserted by
-    # test_collision_oracle's budget-headroom audit).
-    max_block_pairs: int = 28672,
+    # superblock, ~1.6k hit-carrying / final pairs; every default budget
+    # keeps >= 2x headroom (asserted by test_collision_oracle's
+    # budget-headroom audit).
+    max_block_pairs: int = 0,               # deprecated, ignored (see below)
     max_sup_pairs: int = 8192,
     max_hit_sup_pairs: int = 4096,
     max_hit_pairs: int = 4096,
@@ -305,12 +305,19 @@ def make_collision_fn(
       1. 8x8 block refinement on surviving superblock pairs, plus a
          conservative block-level part filter (blocks uniform in
          segm/parents drop exactly when every contained pair would drop);
-         two-stage compaction: hit-carrying superblock pairs first
-         (`max_hit_sup_pairs`), then their recomputed 8x8 masks
-         -> `max_block_pairs`;
-      2. 8x8 triangle refinement with the exact FilterFaces part test
-         (same part, parent part, configured ignore list; schema of
-         smplx_parts_segm.pkl) -> compact to `max_pairs`.
+         hit-carrying superblock pairs compact to `max_hit_sup_pairs`;
+      2. triangle-hit detection at superblock-pair granularity (dense VPU
+         math over each pair's 8x8x8x8 block/triangle slab, gated by the
+         block mask — no block-pair expansion, see the in-body comment),
+         hit-carrying BLOCK pairs compact to `max_hit_pairs`, their exact
+         8x8 triangle masks (FilterFaces part test: same part, parent
+         part, configured ignore list; schema of smplx_parts_segm.pkl)
+         recompute and compact to `max_pairs`.
+
+    `max_block_pairs` is accepted for call compatibility and ignored: the
+    block-pair-list level it budgeted no longer exists (hit detection is
+    exact for ANY count of surviving block pairs; only hit-CARRYING pairs
+    are budgeted, by `max_hit_pairs`).
 
     Unlike the earlier sorted-axis sweep there is NO window assumption: the
     top level tests all superblock pairs, so the result is exact up to the
@@ -349,10 +356,10 @@ def make_collision_fn(
     Fp = nb * _BLK
     ns = -(-nb // _SUP)
     nbp = ns * _SUP
+    del max_block_pairs  # deprecated (see docstring)
     Ps = min(max_sup_pairs, ns * ns)
     Phs = min(max_hit_sup_pairs, Ps)
-    Pb = min(max_block_pairs, Phs * _SUP * _SUP)
-    Ph = min(max_hit_pairs, Pb)
+    Ph = min(max_hit_pairs, Phs * _SUP * _SUP)
     P = min(max_pairs, Ph * _BLK * _BLK)
 
     pad = Fp - F
@@ -552,19 +559,6 @@ def make_collision_fn(
         si_h = g_hs[:, 0].astype(jnp.int32)
         sj_h = g_hs[:, 1].astype(jnp.int32)
         mb_h = blk_mask(si_h, sj_h, validHS)            # [Phs, 64]
-        posB, validB = _compact(mb_h.reshape(-1), Pb)
-        pi = posB // (_SUP * _SUP)
-        wb_ = posB % (_SUP * _SUP)
-        # Rebuild block ids arithmetically; si/sj packed as rows so the
-        # [Pb]-row fetch is one row gather (width-1 scalar gathers are the
-        # slowest gather form on TPU).
-        g = g_hs[pi]                                    # [Pb, 2] one gather
-        bi_f = jnp.minimum(g[:, 0] * _SUP + (wb_ // _SUP).astype(fp32),
-                           nb - 1)
-        bj_f = jnp.minimum(g[:, 1] * _SUP + (wb_ % _SUP).astype(fp32),
-                           nb - 1)
-        bi = bi_f.astype(jnp.int32)
-        bj = bj_f.astype(jnp.int32)
 
         # ---- level 2: 8x8 triangle refinement ---------------------------
         # Same packing trick as level 1: one [nb, C*8] table, one row
@@ -575,6 +569,20 @@ def make_collision_fn(
         if segm_j is not None:
             blk_cols += [sgb.astype(fp32), prb.astype(fp32)]
         blk_tab = jnp.concatenate(blk_cols, axis=1)     # [nb, C*8]
+        Cb = blk_tab.shape[1] // _BLK                   # fields per triangle
+
+        # Superblock-granular copy of blk_tab: row s holds the full
+        # triangle table of blocks s*8 .. s*8+7 ([ns, 8 * C*8]).  Pad
+        # blocks get empty AABBs (+big/-big) and sentinel parts, so every
+        # test against them is False without extra masking.
+        empty_row = [big, big, big, -big, -big, -big]
+        if segm_j is not None:
+            empty_row += [jnp.asarray(-1.0), jnp.asarray(-3.0)]
+        empty = jnp.concatenate(
+            [jnp.full((_BLK,), v, blk_tab.dtype) for v in empty_row])
+        blk_tab8 = jnp.concatenate(
+            [blk_tab, jnp.tile(empty[None], (nbp - nb, 1))], axis=0
+        ).reshape(ns, _SUP * Cb * _BLK)                 # [ns, 512]
 
         def tri_mask(bi_, bj_, valid_):
             """[N] block-pair ids -> [N, 64] surviving triangle-pair mask
@@ -599,25 +607,58 @@ def make_collision_fn(
                 )
             return m
 
-        mt = tri_mask(bi, bj, validB)                   # [Pb, 64]
+        # ---- hit detection at SUPERBLOCK-pair granularity ----------------
+        # Which block pairs carry >= 1 surviving triangle pair?  Computed
+        # from TWO [Phs]-row gathers of the superblock-granular table
+        # (contiguous 8-block rows), NOT by expanding to a block-pair list
+        # first: the previous design compacted mb_h to a ~28k block-pair
+        # budget and gathered blk_tab per pair side — 2 x 28k row-gathers
+        # per lane, ~115 ms of the B=64 build on v5e (row gathers are
+        # latency-bound on the TPU scalar core at ~10 ns/row-lane,
+        # insensitive to row width, so 2 x 4k rows of 512 lanes beat
+        # 2 x 28k rows of 64 lanes ~7x).  The per-pair tri tests become
+        # dense VPU math over [Phs, 8j, 8ti, 8tj] slices, one slice per
+        # A-side block (fuses into the any-reduction; ~3 ms of VPU work).
+        A8 = blk_tab8[si_h].reshape(Phs, _SUP, Cb, _BLK)
+        B8 = blk_tab8[sj_h].reshape(Phs, _SUP, Cb, _BLK)
+        ti_r = jnp.arange(_BLK)
+        hit_cols = []
+        for i in range(_SUP):
+            Ai = A8[:, i]                               # [Phs, C, 8ti]
+            # gate: the block-level mask already encodes AABB overlap,
+            # rank order, validity, and the conservative part filter
+            m = mb_h[:, i * _SUP:(i + 1) * _SUP, None, None]
+            ra = ((si_h[:, None] * _SUP + i) * _BLK)[:, :, None, None] \
+                + ti_r[None, None, :, None]
+            rb = ((sj_h[:, None] * _SUP
+                   + jnp.arange(_SUP)[None, :]) * _BLK)[:, :, None, None] \
+                + ti_r[None, None, None, :]
+            m = m & (ra < rb)
+            for k in range(3):
+                m = m & (B8[:, :, k, None, :] <= Ai[:, None, 3 + k, :, None]) \
+                    & (B8[:, :, 3 + k, None, :] >= Ai[:, None, k, :, None])
+            if segm_j is not None:
+                m = m & ~rel_drop(
+                    Ai[:, None, Cb - 2, :, None], Ai[:, None, Cb - 1, :, None],
+                    B8[:, :, Cb - 2, None, :], B8[:, :, Cb - 1, None, :],
+                )
+            hit_cols.append(jnp.any(m, axis=(2, 3)))    # [Phs, 8j]
+        hit_bp = jnp.concatenate(hit_cols, axis=1)      # [Phs, 64] col i*8+j
+        total_hits_bp = jnp.sum(hit_bp)
 
         # ---- final compaction to the narrow-phase budget ----------------
-        # Two-stage: the flat [Pb * 64] mask is the single most expensive
-        # top_k in the broad phase (1.8M elements at SMPL-X scale), but
-        # block pairs CONTAINING a surviving triangle pair are rare (every
-        # True needs one, and the oracle measures ~1.6k final survivors).
-        # First compact the block pairs with >= 1 hit to `Ph`, then RECOMPUTE
-        # the 8x8 masks for just those pairs (cheap [Ph, 8, 8] math — a
-        # gather of the [Pb, 64] masks would materialize a batch-scaled f32
-        # copy) and run the big compaction over them — a ~7x smaller top_k,
-        # lossless while hit-carrying block pairs <= Ph (asserted with
-        # margin by the budget-headroom test).
-        hit = jnp.any(mt, axis=1)                       # [Pb]
-        posH, validH = _compact(hit, Ph)
-        bij = jnp.stack([bi_f, bj_f], axis=-1)          # [Pb, 2]
-        gh = bij[posH]                                  # [Ph, 2] one gather
-        bi_h_f = gh[:, 0]
-        bj_h_f = gh[:, 1]
+        # Compact the hit-carrying block pairs to `Ph` (lossless while the
+        # mesh's hit-pair count <= Ph — asserted with margin by the
+        # budget-headroom test), recompute their exact 8x8 masks, and run
+        # the final top_k over [Ph * 64] only.
+        posH, validH = _compact(hit_bp.reshape(-1), Ph)
+        pih = posH // (_SUP * _SUP)
+        wbh = posH % (_SUP * _SUP)
+        gh = g_hs[pih]                                  # [Ph, 2] one gather
+        bi_h_f = jnp.minimum(
+            gh[:, 0] * _SUP + (wbh // _SUP).astype(fp32), nb - 1)
+        bj_h_f = jnp.minimum(
+            gh[:, 1] * _SUP + (wbh % _SUP).astype(fp32), nb - 1)
         mt_h = tri_mask(bi_h_f.astype(jnp.int32), bj_h_f.astype(jnp.int32),
                         validH)                         # [Ph, 64]
         posT, validT = _compact(mt_h.reshape(-1), P)
@@ -636,9 +677,8 @@ def make_collision_fn(
             counts = {
                 "superblock": (jnp.sum(ms), Ps),
                 "hit_superblock": (jnp.sum(hit_s), Phs),
-                "block": (jnp.sum(mb), Pb),
-                "hit": (jnp.sum(hit), Ph),
-                "final": (jnp.sum(mt), P),
+                "hit": (total_hits_bp, Ph),
+                "final": (jnp.sum(mt_h), P),
             }
             return (idx_a, idx_b, validT), counts
         return idx_a, idx_b, validT
