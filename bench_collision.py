@@ -20,7 +20,8 @@ timing sums the dispatches.
 import json, sys, time
 import numpy as np
 
-def build(B, iters, aux_every, refresh, ls_mode="wolfe", max_evals=0):
+def build(B, iters, aux_every, refresh, ls_mode="wolfe", max_evals=0,
+          warm_start=False, max_ls=25):
     import jax, jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
@@ -51,18 +52,21 @@ def build(B, iters, aux_every, refresh, ls_mode="wolfe", max_evals=0):
     options = FitOptions(
         lbfgs=LBFGSConfig(max_iters=iters, history=16, ftol=1e-9, gtol=1e-9,
                           ls_soft_accept=6, aux_every=aux_every,
-                          ls_mode=ls_mode, max_evals=max_evals),
+                          ls_mode=ls_mode, max_evals=max_evals,
+                          warm_start_step=warm_start, max_ls=max_ls),
         camera_lbfgs=LBFGSConfig(max_iters=10, history=8, ls_soft_accept=6),
         coll_broad_refresh=refresh)
     return (jax, jnp, model, settings, frames, x0, joint_map, joints_model,
             collision_fn, schedule, options)
 
 
-def run_mono(B, iters, aux_every, refresh, ls_mode="wolfe", max_evals=0):
+def run_mono(B, iters, aux_every, refresh, ls_mode="wolfe", max_evals=0,
+             warm_start=False, max_ls=25):
     from smplifyx_tpu.fitting.pipeline import fit_batch
     (jax, jnp, model, settings, frames, x0, joint_map, joints_model,
      collision_fn, schedule, options) = build(B, iters, aux_every, refresh,
-                                              ls_mode, max_evals)
+                                              ls_mode, max_evals,
+                                              warm_start, max_ls)
     fit = jax.jit(lambda m, jm, fr, x: fit_batch(
         m, settings, options, schedule, fr, x, lambda b: b, joint_map,
         edge_idxs=jnp.asarray([[5, 12], [2, 9]]), joints_model=jm,
@@ -93,12 +97,14 @@ def run_mono(B, iters, aux_every, refresh, ls_mode="wolfe", max_evals=0):
     return B / dt
 
 
-def run_split(B, iters, aux_every, refresh, ls_mode="wolfe", max_evals=0):
+def run_split(B, iters, aux_every, refresh, ls_mode="wolfe", max_evals=0,
+              warm_start=False, max_ls=25):
     import jax.tree_util as jtu
     from smplifyx_tpu.fitting.pipeline import fit_batch
     (jax, jnp, model, settings, frames, x0, joint_map, joints_model,
      collision_fn, schedule, options) = build(B, iters, aux_every, refresh,
-                                              ls_mode, max_evals)
+                                              ls_mode, max_evals,
+                                              warm_start, max_ls)
 
     def head_sched():
         return jtu.tree_map(lambda a: a[0:1], schedule)
@@ -145,6 +151,8 @@ def run_split(B, iters, aux_every, refresh, ls_mode="wolfe", max_evals=0):
     times, evals, res = one_round()
     total = sum(times)
     print(json.dumps({"mode": "split", "B": B, "ls_mode": options.lbfgs.ls_mode,
+                      "warm_start": options.lbfgs.warm_start_step,
+                      "max_ls": options.lbfgs.max_ls,
                       "steady_s": [round(t, 2) for t in times],
                       "total_s": round(total, 2),
                       "fps": round(B / total, 2),
@@ -164,8 +172,11 @@ if __name__ == "__main__":
     mode = a[3] if len(a) > 3 else "mono"
     ls_mode = a[4] if len(a) > 4 else "wolfe"
     max_evals = int(a[5]) if len(a) > 5 else 0
+    warm_start = len(a) > 6 and a[6] in ("warm", "warm1", "1", "true")
+    max_ls = int(a[7]) if len(a) > 7 else 25
     refresh = "iter"
     runner = run_split if mode == "split" else run_mono
     ls_modes = ("wolfe", "armijo") if ls_mode == "both" else (ls_mode,)
     for ls in ls_modes:
-        runner(B, iters, aux_every, refresh, ls, max_evals)
+        runner(B, iters, aux_every, refresh, ls, max_evals, warm_start,
+               max_ls)

@@ -315,7 +315,7 @@ def _strong_wolfe(value_grad_fn, x, t_init, d, f0, g0, gtd0, cfg: LBFGSConfig):
     return t_out, f_out, g_out, final.it
 
 
-def _armijo_backtrack(value_grad_fn, x, t_init, d, f0, g0, gtd0,
+def _armijo_backtrack(value_fn, value_grad_fn, x, t_init, d, f0, g0, gtd0,
                       cfg: LBFGSConfig):
     """Backtracking line search: first trial satisfying the Armijo
     sufficient-decrease condition f(t) <= f0 + c1*t*gtd0 wins.
@@ -323,35 +323,38 @@ def _armijo_backtrack(value_grad_fn, x, t_init, d, f0, g0, gtd0,
     Each backtrack interpolates the quadratic through (0, f0, gtd0) and
     (t, f_t), clipped to [0.1t, 0.5t] (standard safeguards).  No curvature
     condition is enforced — minimize()'s ys > 0 guard simply skips history
-    updates for non-curvature-compatible steps.  Like `_strong_wolfe`, the
-    returned (t, f, g) triple is always from one EVALUATED point: Armijo
-    failure after max_ls returns the best decreasing point seen, or t=0
-    with (f0, g0) if every trial was an ascent/non-finite.
+    updates for non-curvature-compatible steps.
+
+    Trials are VALUE-ONLY: Armijo needs no gradient, and on collision
+    stages the VJP (narrow-phase scatter + full-mesh LBS backward) is ~2.5x
+    the forward — under vmap every lane pays the per-iteration batch-max
+    trial count, so dropping the per-trial backward nearly halves the
+    collision-stage eval bill.  ONE value_and_grad runs at the chosen step
+    (accepted trial, best decreasing point, or t=0 on total failure), which
+    also supplies the gradient the L-BFGS update needs.
     """
     dtype = x.dtype
 
-    def phi(t):
-        f, g = value_grad_fn(x + t * d)
-        return f, g
+    def phi_val(t):
+        return value_fn(x + t * d)
 
     def armijo_ok(t, f):
         return jnp.isfinite(f) & (f <= f0 + cfg.c1 * t * gtd0)
 
-    f1, g1 = phi(t_init)
-    s0 = (t_init, f1, g1, jnp.asarray(1, jnp.int32), armijo_ok(t_init, f1),
+    f1 = phi_val(t_init)
+    s0 = (t_init, f1, jnp.asarray(1, jnp.int32), armijo_ok(t_init, f1),
           # best decreasing point seen (fallback): t=0 start
-          jnp.zeros_like(t_init), f0, g0)
+          jnp.zeros_like(t_init), f0)
 
     def cond(s):
-        _, _, _, it, ok, _, _, _ = s
+        _, _, it, ok, _, _ = s
         return (~ok) & (it < cfg.max_ls)
 
     def body(s):
-        t, f_t, g_t, it, _, bt, bf, bg = s
+        t, f_t, it, _, bt, bf = s
         better = jnp.isfinite(f_t) & (f_t < bf)
         bt = jnp.where(better, t, bt)
         bf = jnp.where(better, f_t, bf)
-        bg = jnp.where(better, g_t, bg)
         # Quadratic-interpolated backtrack; bisection fallback on a
         # non-finite trial (overflow territory — pull in hard).
         denom = 2.0 * (f_t - f0 - gtd0 * t)
@@ -361,23 +364,24 @@ def _armijo_backtrack(value_grad_fn, x, t_init, d, f0, g0, gtd0,
         t_new = jnp.where(jnp.isfinite(f_t) & jnp.isfinite(t_new)
                           & (t_new > 0), t_new, 0.1 * t)
         t_new = t_new.astype(dtype)
-        f_n, g_n = phi(t_new)
-        return (t_new, f_n, g_n, it + 1, armijo_ok(t_new, f_n), bt, bf, bg)
+        f_n = phi_val(t_new)
+        return (t_new, f_n, it + 1, armijo_ok(t_new, f_n), bt, bf)
 
-    t, f_t, g_t, evals, ok, bt, bf, bg = jax.lax.while_loop(cond, body, s0)
+    t, f_t, evals, ok, bt, bf = jax.lax.while_loop(cond, body, s0)
     # Merge the LAST evaluated trial into the best-seen fallback (the loop
     # body only folds in the previous trial, so a max_ls exit would
     # otherwise drop it).
     better = jnp.isfinite(f_t) & (f_t < bf)
     bt = jnp.where(better, t, bt)
     bf = jnp.where(better, f_t, bf)
-    bg = jnp.where(better, g_t, bg)
     # Fallback chain: Armijo accept -> best decreasing point -> t=0 (exact
     # no-step; minimize() then wipes the history and retries steepest).
     t_out = jnp.where(ok, t, bt)
-    f_out = jnp.where(ok, f_t, bf)
-    g_out = jnp.where(ok, g_t, bg)
-    return t_out, f_out, g_out, evals
+    # t == 0 must evaluate EXACTLY at x (x + 0 * d is NaN when d carries
+    # non-finite entries from a poisoned gradient — same guard as the
+    # caller's step computation).
+    f_out, g_out = value_grad_fn(x + jnp.where(t_out != 0.0, t_out * d, 0.0))
+    return t_out, f_out, g_out, evals + 1
 
 
 def _two_loop(g, S_hist, Y_hist, rho, n_hist, history):
@@ -489,6 +493,10 @@ def minimize(
             f, g = vg(x)
             return f, apply_mask(g)
 
+        def val_aux(x, aux):
+            del aux
+            return fun(x)
+
     else:
         vg = jax.value_and_grad(fun)  # d/dx only; aux is positional data
 
@@ -496,8 +504,15 @@ def minimize(
             f, g = vg(x, aux)
             return f, apply_mask(g)
 
+        def val_aux(x, aux):
+            return fun(x, aux)
+
     def make_eval(aux):
         return lambda x: masked_vg_aux(x, aux)
+
+    def make_val(aux):
+        # Value-only objective for armijo trials (no VJP graph).
+        return lambda x: val_aux(x, aux)
 
     aux0 = aux_fn(x0) if aux_fn is not None else None
     f0, g0 = masked_vg_aux(x0, aux0)
@@ -518,7 +533,7 @@ def minimize(
         under_budget = (cfg.max_evals <= 0) | (s.n_evals < cfg.max_evals)
         return (~s.done) & (s.it < cfg.max_iters) & under_budget
 
-    def body(s: _MinState, eval_fn) -> _MinState:
+    def body(s: _MinState, eval_fn, val_fn) -> _MinState:
         first = s.n_hist == 0
         d = _two_loop(s.g, s.S_hist, s.Y_hist, s.rho, s.n_hist, m)
         d = jnp.where(first, -s.g, d)
@@ -547,7 +562,7 @@ def minimize(
 
         if cfg.ls_mode == "armijo":
             t, f_new, g_new, ls_evals = _armijo_backtrack(
-                eval_fn, s.x, t0, d, s.f, s.g, gtd, cfg
+                val_fn, eval_fn, s.x, t0, d, s.f, s.g, gtd, cfg
             )
         else:
             t, f_new, g_new, ls_evals = _strong_wolfe(
@@ -617,8 +632,9 @@ def minimize(
 
     if aux_fn is None:
         plain_eval = make_eval(None)
+        plain_val = make_val(None)
         final = jax.lax.while_loop(
-            cond, lambda s: body(s, plain_eval), init)
+            cond, lambda s: body(s, plain_eval, plain_val), init)
     else:
         # Nested loops, NOT a lax.cond on (it % aux_every): under vmap a
         # batched cond predicate lowers to select — BOTH branches would
@@ -650,6 +666,7 @@ def minimize(
             else:
                 aux = aux_fn(s.x)
             eval_fn = make_eval(aux)
+            val_fn = make_val(aux)
             f_cur, g_cur = eval_fn(s.x)
             g_small = jnp.max(jnp.abs(g_cur)) <= cfg.gtol
             # Seal on f-stationarity too: a lane that converged via ftol /
@@ -674,7 +691,7 @@ def minimize(
                 return cond(t) & (t.it < period_end)
 
             s = jax.lax.while_loop(
-                inner_cond, lambda t: body(t, eval_fn), s)
+                inner_cond, lambda t: body(t, eval_fn, val_fn), s)
             return (s, aux)
 
         final, _ = jax.lax.while_loop(outer_cond, outer_body, (init, aux0))

@@ -8,8 +8,8 @@ final-loss mean (the quality check: configs must agree with the baseline
 loss to ~1e-3 relative or they are not viable bench configs).
 
 Usage: python tools/ab_flagship.py [B] [rounds] [config ...]
-  config grammar: name=ls_mode:max_evals[:max_iters]   e.g.
-    wolfe=wolfe:0  armijo=armijo:0  wolfe_me90=wolfe:90
+  config grammar: name=ls_mode:max_evals[:max_iters[:warm]]   e.g.
+    wolfe=wolfe:0  armijo=armijo:0  wolfe_me90=wolfe:90  warm=wolfe:0:60:warm
 Defaults: B=128, rounds=5, configs = wolfe:0, armijo:0, wolfe:90.
 """
 import json
@@ -55,12 +55,13 @@ def main():
         ls_mode = parts[0]
         max_evals = int(parts[1]) if len(parts) > 1 else 0
         max_iters = int(parts[2]) if len(parts) > 2 else 60
+        warm = len(parts) > 3 and parts[3] == "warm"
         options = FitOptions(
             lbfgs=LBFGSConfig(max_iters=max_iters, history=16, ftol=1e-9,
                               gtol=1e-9, ls_soft_accept=6, ls_mode=ls_mode,
-                              max_evals=max_evals),
+                              max_evals=max_evals, warm_start_step=warm),
             camera_lbfgs=LBFGSConfig(max_iters=30, history=8,
-                                     ls_soft_accept=6))
+                                     ls_soft_accept=6, warm_start_step=warm))
         fits[name] = jax.jit(
             lambda model, joints_model, frames, x0, options=options:
             fit_batch(model, settings, options, schedule, frames, x0,
