@@ -13,11 +13,14 @@ Usage: python tools/ab_flagship.py [B] [rounds] [config ...]
 Defaults: B=128, rounds=5, configs = wolfe:0, armijo:0, wolfe:90.
 """
 import json
+import os.path as osp
 import statistics
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def main():
