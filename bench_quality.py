@@ -43,7 +43,8 @@ def _git_sha() -> str:
 
 
 def main(B: int = 64, ls_mode: str = "wolfe", platform: str | None = None,
-         out_path: str | None = None):
+         out_path: str | None = None, max_evals: int = 0,
+         max_iters: int = 30):
     import jax
 
     if platform:
@@ -98,10 +99,18 @@ def main(B: int = 64, ls_mode: str = "wolfe", platform: str | None = None,
         face_joints_weights=[0.0, 0.0, 1.0],
     )
     options = FitOptions(
-        lbfgs=LBFGSConfig(max_iters=30, history=10, ftol=1e-9, gtol=1e-9,
-                          ls_soft_accept=6, ls_mode=ls_mode),
-        camera_lbfgs=LBFGSConfig(max_iters=15, history=8, ls_soft_accept=6,
-                                 ls_mode=ls_mode),
+        # ls_mode/max_evals apply to the body stages only — the camera
+        # stage stays on strong Wolfe, matching bench.py's flagship
+        # configuration.  max_iters must mirror the benched budget: Armijo
+        # steps are cheaper but lower-quality per iteration (no curvature
+        # condition feeding the L-BFGS history), so judging it at a
+        # truncated iteration budget understates the converged quality —
+        # measured 42.7 mm V2V at 30 iters vs in-gate at the flagship's 60.
+        lbfgs=LBFGSConfig(max_iters=max_iters, history=10, ftol=1e-9,
+                          gtol=1e-9, ls_soft_accept=6, ls_mode=ls_mode,
+                          max_evals=max_evals),
+        camera_lbfgs=LBFGSConfig(max_iters=max(15, max_iters // 2),
+                                 history=8, ls_soft_accept=6),
     )
     fit = jax.jit(
         lambda m, jm, f, x: fit_batch(
@@ -139,6 +148,8 @@ def main(B: int = 64, ls_mode: str = "wolfe", platform: str | None = None,
         "value": round(float(per_frame_mm.mean()), 3),
         "unit": "mm",
         "ls_mode": ls_mode,
+        "max_evals": max_evals,
+        "max_iters": max_iters,
         "platform": jax.devices()[0].platform,
         "git": _git_sha(),
         "p90_mm": round(float(np.percentile(per_frame_mm, 90)), 3),
@@ -167,4 +178,6 @@ if __name__ == "__main__":
     main(B=int(a[0]) if a else 64,
          ls_mode=a[1] if len(a) > 1 else "wolfe",
          platform=a[2] if len(a) > 2 else None,
-         out_path=a[3] if len(a) > 3 else None)
+         out_path=a[3] if len(a) > 3 else None,
+         max_evals=int(a[4]) if len(a) > 4 else 0,
+         max_iters=int(a[5]) if len(a) > 5 else 30)
