@@ -34,24 +34,25 @@ class TestPenalty:
     def test_zero_when_far_apart(self):
         verts, faces = two_triangles(depth=-1.0)
         fn = make_collision_fn(faces, sigma=0.01, penalize_outside=False)
-        assert float(fn(verts)) == 0.0
+        assert float(jax.jit(fn)(verts)) == 0.0
 
     def test_positive_when_penetrating(self):
         verts, faces = two_triangles(depth=0.003)
         fn = make_collision_fn(faces, sigma=0.01, penalize_outside=False)
-        assert float(fn(verts)) > 0.0
+        assert float(jax.jit(fn)(verts)) > 0.0
 
     def test_deeper_penetration_costs_more(self):
         faces = two_triangles(0)[1]
         fn = make_collision_fn(faces, sigma=0.01, penalize_outside=False)
-        shallow = float(fn(two_triangles(0.002)[0]))
-        deep = float(fn(two_triangles(0.008)[0]))
+        jfn = jax.jit(fn)
+        shallow = float(jfn(two_triangles(0.002)[0]))
+        deep = float(jfn(two_triangles(0.008)[0]))
         assert deep > shallow > 0.0
 
     def test_gradient_repels(self):
         verts, faces = two_triangles(depth=0.003)
         fn = make_collision_fn(faces, sigma=0.01, penalize_outside=False)
-        g = np.asarray(jax.grad(lambda v: fn(v))(verts))
+        g = np.asarray(jax.jit(jax.grad(fn))(verts))
         assert np.isfinite(g).all()
         # Moving the intruding triangle deeper (-z) must increase the
         # penalty => the summed z-gradient on its vertices is negative.
@@ -61,7 +62,7 @@ class TestPenalty:
         # Gradient exists even though sort/overlap aren't differentiable.
         verts, faces = two_triangles(depth=0.001)
         fn = make_collision_fn(faces, sigma=0.01)
-        g = jax.grad(fn)(verts)
+        g = jax.jit(jax.grad(fn))(verts)
         assert np.isfinite(np.asarray(g)).all()
 
 
@@ -71,14 +72,14 @@ class TestPartFilter:
         segm = np.array([5, 5], np.int32)       # same part
         parents = np.array([1, 1], np.int32)
         fn = make_collision_fn(faces, segm=segm, parents=parents, sigma=0.01)
-        assert float(fn(verts)) == 0.0
+        assert float(jax.jit(fn)(verts)) == 0.0
 
     def test_parent_child_ignored(self):
         verts, faces = two_triangles(depth=0.003)
         segm = np.array([5, 7], np.int32)
         parents = np.array([2, 5], np.int32)    # part 7's parent is 5
         fn = make_collision_fn(faces, segm=segm, parents=parents, sigma=0.01)
-        assert float(fn(verts)) == 0.0
+        assert float(jax.jit(fn)(verts)) == 0.0
 
     def test_ignore_list(self):
         verts, faces = two_triangles(depth=0.003)
@@ -88,12 +89,12 @@ class TestPartFilter:
             faces, segm=segm, parents=parents,
             ign_part_pairs=["9,16"], sigma=0.01,
         )
-        assert float(fn(verts)) == 0.0
+        assert float(jax.jit(fn)(verts)) == 0.0
         fn2 = make_collision_fn(
             faces, segm=segm, parents=parents,
             ign_part_pairs=["1,2"], sigma=0.01,
         )
-        assert float(fn2(verts)) > 0.0
+        assert float(jax.jit(fn2)(verts)) > 0.0
 
     def test_part_segm_pickle_roundtrip(self, tmp_path):
         import pickle
@@ -129,7 +130,7 @@ class TestBroadPhase:
         faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
         fn = make_collision_fn(jnp.asarray(faces), sigma=0.01,
                                penalize_outside=False, window=8)
-        assert float(fn(jnp.asarray(verts))) > 0.0
+        assert float(jax.jit(fn)(jnp.asarray(verts))) > 0.0
 
     def test_jit_and_vmap(self):
         verts, faces = two_triangles(depth=0.003)
@@ -149,20 +150,20 @@ class TestPoint2Plane:
         verts, faces = two_triangles(0.15)
         cone = make_collision_fn(faces, max_pairs=8)
         p2p = make_collision_fn(faces, max_pairs=8, point2plane=True)
-        c = float(cone(verts))
-        p = float(p2p(verts))
+        c = float(jax.jit(cone)(verts))
+        p = float(jax.jit(p2p)(verts))
         assert c > 0 and p > 0
         assert abs(c - p) > 1e-8  # genuinely different fields
 
     def test_zero_when_separated(self):
         verts, faces = two_triangles(-0.5)
         p2p = make_collision_fn(faces, max_pairs=8, point2plane=True)
-        assert float(p2p(verts)) == 0.0
+        assert float(jax.jit(p2p)(verts)) == 0.0
 
     def test_gradient_flows(self):
         verts, faces = two_triangles(0.15)
         p2p = make_collision_fn(faces, max_pairs=8, point2plane=True)
-        g = jax.grad(lambda v: p2p(v))(verts)
+        g = jax.jit(jax.grad(p2p))(verts)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.max(jnp.abs(g))) > 0
 

@@ -10,6 +10,7 @@ mode is budget saturation, not any window assumption; the legacy sweep's
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -39,7 +40,7 @@ class TestOracleSmall:
             jnp.asarray(faces), segm=segm, parents=parents,
             window=256, max_pairs=4096,
         )
-        ia, ib, valid = fn.candidate_pairs(jnp.asarray(verts))
+        ia, ib, valid = jax.jit(fn.candidate_pairs)(jnp.asarray(verts))
         found = _pair_set(np.asarray(ia), np.asarray(ib), np.asarray(valid))
         oracle = _pair_set(oi, oj)
         missing = oracle - found
@@ -60,7 +61,7 @@ class TestOracleSmall:
             jnp.asarray(faces), segm=segm, parents=parents,
             ign_part_pairs=["1,4"], window=256, max_pairs=4096,
         )
-        ia, ib, valid = fn.candidate_pairs(jnp.asarray(verts))
+        ia, ib, valid = jax.jit(fn.candidate_pairs)(jnp.asarray(verts))
         found = _pair_set(np.asarray(ia), np.asarray(ib), np.asarray(valid))
         assert found == _pair_set(oi, oj)
 
@@ -70,10 +71,11 @@ class TestOracleSmall:
             jnp.asarray(faces), segm=segm, parents=parents,
             window=256, max_pairs=4096, sigma=0.01, penalize_outside=False,
         )
-        assert float(fn(jnp.asarray(verts))) > 0.0
+        jfn = jax.jit(fn)
+        assert float(jfn(jnp.asarray(verts))) > 0.0
         # Explode the parts apart -> nothing collides.
         exploded = verts + segm_offsets(verts, faces, segm)
-        assert float(fn(jnp.asarray(exploded))) == 0.0
+        assert float(jfn(jnp.asarray(exploded))) == 0.0
 
 
 def segm_offsets(verts, faces, segm):
@@ -104,7 +106,7 @@ class TestOracleFullScale:
         fn = make_collision_fn(
             jnp.asarray(faces), segm=segm, parents=parents,
         )  # production defaults: window=640, max_pairs=4096
-        ia, ib, valid = fn.candidate_pairs(jnp.asarray(verts))
+        ia, ib, valid = jax.jit(fn.candidate_pairs)(jnp.asarray(verts))
         found = _pair_set(np.asarray(ia), np.asarray(ib), np.asarray(valid))
         oracle = _pair_set(oi, oj)
         missing = oracle - found

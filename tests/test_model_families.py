@@ -19,6 +19,8 @@ from smplifyx_tpu.models.bodymodel import (
     SMPL_PARENTS, SMPLH_PARENTS, SMPLX_PARENTS,
 )
 from smplifyx_tpu.models.forward import BodyParams, smplx_forward
+
+from tests._jit import jit_forward
 from smplifyx_tpu.models.joint_mapping import model_to_annotation
 
 
@@ -65,7 +67,7 @@ class TestSMPLHMapping:
         params = BodyParams.zeros(2).replace(
             body_pose=jnp.zeros((2, 63)),
         )
-        out = smplx_forward(model, params, joint_map=jm,
+        out = jit_forward(model, params, joint_map=jm,
                             use_face_contour=False)
         assert out.joints.shape == (2, 67, 3)
         assert np.isfinite(np.asarray(out.joints)).all()
@@ -163,7 +165,7 @@ class TestLoaders:
         assert m.left_hand_components.shape == (12, 45)
         assert m.lmk_faces_idx.shape == (51,)
         assert m.parents[0] == -1
-        out = smplx_forward(m, BodyParams.zeros(1))
+        out = jit_forward(m, BodyParams.zeros(1))
         assert out.joints.shape[1] == 55 + 21 + 51 + 17
 
     def test_smplh_npz(self, tmp_path):
@@ -174,7 +176,7 @@ class TestLoaders:
         assert m.shapedirs.shape == (32, 3, 10)
         assert float(jnp.abs(m.exprdirs).sum()) == 0.0  # no expression space
         assert m.lmk_faces_idx.shape == (0,)
-        out = smplx_forward(m, BodyParams.zeros(1).replace(
+        out = jit_forward(m, BodyParams.zeros(1).replace(
             body_pose=jnp.zeros((1, 63))), use_face_contour=False)
         assert out.joints.shape[1] == 52 + 21
 
@@ -184,7 +186,7 @@ class TestLoaders:
         m = load_body_model(p, "smpl")
         assert m.num_joints == 24
         assert m.extra_joint_vids.shape == (11,)
-        out = smplx_forward(m, BodyParams.zeros(1).replace(
+        out = jit_forward(m, BodyParams.zeros(1).replace(
             body_pose=jnp.zeros((1, 69))), use_face_contour=False)
         assert out.joints.shape[1] == 24 + 11
         assert np.isfinite(np.asarray(out.vertices)).all()
@@ -220,7 +222,7 @@ def _fit_family(model_type, use_hands, fmt="coco25"):
     gt = BodyParams.zeros(B).replace(
         body_pose=jnp.asarray(rng.normal(0, 0.1, (B, body_dof)), jnp.float32)
     )
-    out = smplx_forward(model, gt, joint_map=jm, use_face_contour=False)
+    out = jit_forward(model, gt, joint_map=jm, use_face_contour=False)
     cam = CameraParams(
         rotation=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
         translation=jnp.tile(jnp.asarray([[0.0, 0.0, 4.0]]), (B, 1)),

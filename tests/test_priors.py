@@ -161,10 +161,10 @@ class TestHandJawPriorTypes:
             face_joints_weights=[0.0],
         )
         w = jax.tree.map(lambda a: a[0], sched)
-        val = smplify_energy(
-            x[0], settings, model, frame, w, jnp.asarray(0), 1,
+        val = jax.jit(lambda xx: smplify_energy(
+            xx, settings, model, frame, w, jnp.asarray(0), 1,
             lambda b: b, jm, lhand_gmm=lhand_gmm, rhand_gmm=rhand_gmm,
-        )
+        ))(x[0])
         return float(val), x
 
     def test_gmm_hand_prior_value(self):

@@ -7,6 +7,8 @@ import pytest
 
 from smplifyx_tpu.models.bodymodel import synthetic_model, SMPLX_PARENTS
 from smplifyx_tpu.models.forward import BodyParams, smplx_forward
+
+from tests._jit import jit_forward
 from smplifyx_tpu.models.joint_mapping import model_to_annotation
 
 
@@ -86,7 +88,7 @@ class TestForwardGolden:
             left_hand_pose=jnp.asarray(rng.normal(0, 0.5, (B, 12)), jnp.float32),
             right_hand_pose=jnp.asarray(rng.normal(0, 0.5, (B, 12)), jnp.float32),
         )
-        out = smplx_forward(model, params, use_face_contour=False)
+        out = jit_forward(model, params, use_face_contour=False)
         for b in range(B):
             fp = np.asarray(out.full_pose[b], np.float64)
             verts_np, joints_np = np_smplx_forward(
@@ -101,7 +103,7 @@ class TestForwardGolden:
 
     def test_zero_pose_identity(self, model):
         params = BodyParams.zeros(1)
-        out = smplx_forward(model, params, flat_hand_mean=True,
+        out = jit_forward(model, params, flat_hand_mean=True,
                             use_face_contour=False)
         # zero pose, zero betas, flat hands: vertices == template
         np.testing.assert_allclose(
@@ -113,35 +115,35 @@ class TestForwardGolden:
         params = BodyParams.zeros(B)
         coeffs = jnp.ones((B, 12))
         params = params.replace(left_hand_pose=coeffs)
-        out = smplx_forward(model, params, use_pca=True, flat_hand_mean=True,
+        out = jit_forward(model, params, use_pca=True, flat_hand_mean=True,
                             use_face_contour=False)
         expect = np.asarray(coeffs @ model.left_hand_components)
         got = np.asarray(out.full_pose[0, 75:120])
         np.testing.assert_allclose(got, expect[0], atol=1e-6)
 
     def test_output_joint_count(self, model):
-        out = smplx_forward(model, BodyParams.zeros(3), use_face_contour=True)
+        out = jit_forward(model, BodyParams.zeros(3), use_face_contour=True)
         assert out.joints.shape == (3, 144, 3)
-        out2 = smplx_forward(model, BodyParams.zeros(3), use_face_contour=False)
+        out2 = jit_forward(model, BodyParams.zeros(3), use_face_contour=False)
         assert out2.joints.shape == (3, 127, 3)
 
     def test_joint_map(self, model):
         jm = model_to_annotation("smplx", True, True, True, "coco25")
-        out = smplx_forward(
+        out = jit_forward(
             model, BodyParams.zeros(2), joint_map=jnp.asarray(jm),
             use_face_contour=True,
         )
         assert out.joints.shape == (2, 25 + 42 + 68, 3)
 
     def test_jit_and_vmap_safe(self, model):
-        f = jax.jit(lambda p: smplx_forward(model, p).vertices)
+        f = jax.jit(lambda p: jit_forward(model, p).vertices)
         v = f(BodyParams.zeros(2))
         assert v.shape[0] == 2
 
     def test_grad_flows(self, model):
         def loss(body_pose):
             p = BodyParams.zeros(1).replace(body_pose=body_pose)
-            return jnp.sum(smplx_forward(model, p).vertices ** 2)
+            return jnp.sum(jit_forward(model, p).vertices ** 2)
 
         g = jax.grad(loss)(jnp.full((1, 63), 0.1))
         assert np.all(np.isfinite(np.asarray(g)))
@@ -186,7 +188,7 @@ class TestModelFamilies:
                                   jnp.float32),
             betas=jnp.asarray(rng.normal(0, 0.5, (B, 10)), jnp.float32),
         )
-        out = smplx_forward(model, params, use_face_contour=False,
+        out = jit_forward(model, params, use_face_contour=False,
                             flat_hand_mean=True)
         assert out.joints.shape == (B, num_out, 3)
         for b in range(B):

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 
 from smplifyx_tpu.models.bodymodel import synthetic_model
 from smplifyx_tpu.models.forward import BodyParams, smplx_forward
+
+from tests._jit import jit_forward
 from smplifyx_tpu.models.joint_mapping import model_to_annotation
 from smplifyx_tpu.models.sparse import build_joints_model, joints_forward
 
@@ -30,9 +32,9 @@ class TestJointsForward:
             left_hand_pose=jnp.asarray(rng.normal(0, 0.5, (B, 12)), jnp.float32),
             right_hand_pose=jnp.asarray(rng.normal(0, 0.5, (B, 12)), jnp.float32),
         )
-        full = smplx_forward(model, params, use_face_contour=True,
+        full = jit_forward(model, params, use_face_contour=True,
                              joint_map=joint_map)
-        sparse = joints_forward(jm, params, use_face_contour=True,
+        sparse = jax.jit(joints_forward, static_argnames=('use_face_contour', 'use_pca', 'flat_hand_mean'))(jm, params, use_face_contour=True,
                                 joint_map=joint_map)
         np.testing.assert_allclose(
             np.asarray(sparse), np.asarray(full.joints), atol=3e-5
@@ -42,8 +44,8 @@ class TestJointsForward:
         model = synthetic_model(num_verts=96, seed=2)
         jm = build_joints_model(model)
         params = BodyParams.zeros(2)
-        full = smplx_forward(model, params, use_face_contour=False)
-        sparse = joints_forward(jm, params, use_face_contour=False)
+        full = jit_forward(model, params, use_face_contour=False)
+        sparse = jax.jit(joints_forward, static_argnames=('use_face_contour', 'use_pca', 'flat_hand_mean'))(jm, params, use_face_contour=False)
         np.testing.assert_allclose(
             np.asarray(sparse), np.asarray(full.joints), atol=3e-5
         )

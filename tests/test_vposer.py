@@ -37,7 +37,7 @@ class TestVPoser:
         # all-zero 6D vector whose rotation is undefined.
         rng = np.random.default_rng(0)
         z = jnp.asarray(rng.normal(0, 1, (4, LATENT_DIM)), jnp.float32)
-        pose = vp.decode(z)
+        pose = jax.jit(vp.decode)(z)
         assert pose.shape == (4, POSE_DIM)
         # axis-angle per joint has magnitude <= pi
         aa = np.asarray(pose).reshape(4, 21, 3)
@@ -45,7 +45,7 @@ class TestVPoser:
 
     def test_encode_shapes(self):
         vp = VPoser(random_params())
-        mu, sigma = vp.encode(jnp.zeros((2, POSE_DIM)))
+        mu, sigma = jax.jit(vp.encode)(jnp.zeros((2, POSE_DIM)))
         assert mu.shape == (2, LATENT_DIM)
         assert sigma.shape == (2, LATENT_DIM)
         assert (np.asarray(sigma) > 0).all()
@@ -60,7 +60,7 @@ class TestVPoser:
 
     def test_decode_grad_flows(self):
         vp = VPoser(random_params())
-        g = jax.grad(lambda z: jnp.sum(vp.decode(z) ** 2))(
+        g = jax.jit(jax.grad(lambda z: jnp.sum(vp.decode(z) ** 2)))(
             jnp.ones((1, LATENT_DIM)) * 0.1
         )
         assert np.isfinite(np.asarray(g)).all()
@@ -113,7 +113,7 @@ class TestTorchConversion:
             b3 = torch.cross(b1, b2, dim=1)
             R_torch = torch.stack([b1, b2, b3], dim=-1).reshape(3, 21, 3, 3)
 
-        pose = np.asarray(vp.decode(jnp.asarray(z.numpy())))
+        pose = np.asarray(jax.jit(vp.decode)(jnp.asarray(z.numpy())))
         # Compare induced rotations, not the (sign-ambiguous) axis-angle.
         from smplifyx_tpu.ops.rotation import batch_rodrigues
         R_ours = np.asarray(batch_rodrigues(jnp.asarray(pose.reshape(3, 21, 3))))
@@ -166,5 +166,5 @@ class TestTorchConversion:
             mu_torch = torch.nn.functional.linear(
                 x, sd["bodyprior_enc_mu.weight"], sd["bodyprior_enc_mu.bias"]
             )
-        mu, sigma = vp.encode(jnp.asarray(pose.numpy()))
+        mu, sigma = jax.jit(vp.encode)(jnp.asarray(pose.numpy()))
         np.testing.assert_allclose(np.asarray(mu), mu_torch.numpy(), atol=2e-5)
