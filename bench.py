@@ -152,11 +152,24 @@ def main():
     # Reference budget: up to 30x30 iterations/stage with ftol/gtol 1e-9
     # early exits (cfg_files/*.yaml); 60/stage matches its typical converged
     # iteration counts.
-    # ls_soft_accept=6 measured quality-neutral (+16%) on this energy; the
-    # strict strong-Wolfe default averages ~5 evals/iteration here.
+    # Line search: Armijo backtracking with value-only trials + a
+    # max_evals=90 straggler cap (~p90 of per-lane eval counts).  A/B'd
+    # against the strong-Wolfe config at B=128 (tools/ab_flagship.py,
+    # round 4): 231 vs 131 fps with a FINAL LOSS 1.2% LOWER than wolfe's
+    # and full-scale synthetic-GT quality indistinguishable from wolfe at
+    # the same budget (QUALITY_r04.json; 43.4 vs 43.3 mm V2V).
+    # FitOptions.matmul_precision="highest" (the default) adds another
+    # ~6%: f32 contractions cut line-search eval counts (231 -> 245 fps)
+    # AND fix the 2.3x bf16 reprojection penalty — see
+    # docs/ARCHITECTURE.md "Numerics".  wolfe remains the default for
+    # user runs (cfg/*.yaml); this is the documented throughput
+    # configuration.
     options = FitOptions(
         lbfgs=LBFGSConfig(max_iters=60, history=16, ftol=1e-9, gtol=1e-9,
-                          ls_soft_accept=6),
+                          ls_soft_accept=6, ls_mode="armijo", max_evals=90),
+        # Camera stage stays on strong Wolfe (the measured A/B config; the
+        # camera sub-problem is tiny and its convergence sets up every
+        # later stage).
         camera_lbfgs=LBFGSConfig(max_iters=30, history=8, ls_soft_accept=6),
     )
 

@@ -85,6 +85,17 @@ class FitOptions:
     # (fit_single_frame.py:509-520 renders the mesh after every stage).
     # Off by default: S extra [B, D] buffers are pure overhead otherwise.
     keep_stage_params: bool = struct.field(pytree_node=False, default=False)
+    # Matmul precision for everything traced inside fit_batch.  The TPU's
+    # default single-pass bf16 MXU mode costs real quality AND speed on
+    # this workload: gradient noise from bf16 contractions degrades 2D
+    # reprojection 2.3x (5.0 -> 2.16 px on the full-scale synthetic-GT
+    # bench, where f32 matches CPU bit-for-bit-level quality: 42.9 vs
+    # 42.7 mm V2V) and the noisier line searches burn ~40% more
+    # evaluations (231 -> 245 fps at B=128 when switching to f32).  The
+    # reference runs f32 CUDA throughout, so this is also the parity
+    # default.  None leaves the backend default (single-pass bf16).
+    matmul_precision: Optional[str] = struct.field(
+        pytree_node=False, default="highest")
 
 
 class FitResult(struct.PyTreeNode):
@@ -105,6 +116,38 @@ class FitResult(struct.PyTreeNode):
 
 
 def fit_batch(
+    model: SMPLXModel,
+    settings: FitSettings,
+    options: FitOptions,
+    stage_weights: StageWeights,      # stacked: every leaf [S, ...]
+    frames: FrameData,                # batched: every leaf [B, ...]
+    x0: jax.Array,                    # [B, D] initial flat params
+    decode_body: Callable[[jax.Array], jax.Array],
+    joint_map: jax.Array,
+    gmm=None,
+    edge_idxs: Optional[jax.Array] = None,
+    collision_fn: Optional[Callable] = None,
+    joints_model=None,
+    coll_stage_mask: Optional[tuple] = None,
+    lhand_gmm=None,
+    rhand_gmm=None,
+) -> FitResult:
+    """Fit a batch of frames — see _fit_batch_impl for the full docstring.
+
+    This shim only pins `options.matmul_precision` (default f32; see the
+    FitOptions field note) around the trace.  Pallas kernels are
+    unaffected — they pin their own operand precisions internally.
+    """
+    args = (model, settings, options, stage_weights, frames, x0,
+            decode_body, joint_map, gmm, edge_idxs, collision_fn,
+            joints_model, coll_stage_mask, lhand_gmm, rhand_gmm)
+    if options.matmul_precision is None:
+        return _fit_batch_impl(*args)
+    with jax.default_matmul_precision(options.matmul_precision):
+        return _fit_batch_impl(*args)
+
+
+def _fit_batch_impl(
     model: SMPLXModel,
     settings: FitSettings,
     options: FitOptions,
@@ -351,7 +394,17 @@ def recover_outputs(
     joint_map: Optional[jax.Array] = None,
 ):
     """Final forward pass on fitted params: (vertices, joints, BodyParams,
-    cam_t, decoded body pose)."""
+    cam_t, decoded body pose).
+
+    Runs under f32 matmul precision like fit_batch: the recovered mesh is
+    the deliverable, and a single-pass bf16 LBS perturbs vertices at the
+    millimetre scale."""
+    with jax.default_matmul_precision("highest"):
+        return _recover_outputs_impl(model, settings, x, decode_body,
+                                     joint_map)
+
+
+def _recover_outputs_impl(model, settings, x, decode_body, joint_map):
     params, cam_t, body_raw = body_params_from_flat(settings, x, decode_body)
     out = smplx_forward(
         model, params,

@@ -78,9 +78,15 @@ def _gather_kernel(meta_ref, vr3_ref, out_ref, *, H: int, L: int):
               == hi_row).astype(jnp.bfloat16)    # [H, TR] exact in bf16
     tmpT = jnp.zeros((3 * L, tr), f32)
     for part in _split3(vr3_ref[:, :]):
+        # precision pinned to DEFAULT: the operands are already bf16 (the
+        # 3-digit split makes the result f32-exact), and a global
+        # jax_default_matmul_precision=highest would otherwise stamp
+        # fp32 contract precision on a bf16 matmul — which Mosaic rejects
+        # ("Bad lhs type").
         tmpT += jax.lax.dot_general(
             part, oh_hiT, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT)
     oh_loT = (jax.lax.broadcasted_iota(jnp.int32, (L, tr), 0).astype(f32)
               == lo_row).astype(f32)             # [L, TR]
     rows = [jnp.sum(tmpT[c * L:(c + 1) * L, :] * oh_loT, axis=0,
@@ -119,7 +125,8 @@ def _scatter_kernel(meta_ref, part_ref, *, H: int, L: int):
             [oh_loT * part[c:c + 1, :] for c in range(3)], axis=0)
         update += jax.lax.dot_general(
             ghatT, oh_hiT, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT)  # see gather kernel note
     part_ref[0, :, :] = update
 
 
