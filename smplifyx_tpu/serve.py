@@ -64,13 +64,21 @@ class FitService:
         include_vertices: bool = False,
         default_gender: Optional[str] = None,
         max_queue: int = 0,
+        min_bucket: int = 1,
     ):
         """max_queue bounds the pending-request queue (0 = unbounded);
         submit() on a full queue raises ServiceOverloadedError instead of
         letting latency grow without bound (load-shedding backpressure —
-        clients see an immediate 503 and can retry elsewhere)."""
+        clients see an immediate 503 and can retry elsewhere).
+
+        min_bucket floors the power-of-two padding bucket: with
+        min_bucket=4, a lone request and a 3-request burst run the SAME
+        compiled executable, so low-traffic periods never pay a fresh
+        compile when traffic picks up (padding lanes are near-free —
+        the batch is one fused device program either way)."""
         self.session = session
         self.max_batch = int(max_batch)
+        self.min_bucket = int(min_bucket)
         self.max_wait_s = float(max_wait_s)
         self.include_vertices = include_vertices
         self.default_gender = default_gender or session.cfg.gender
@@ -213,7 +221,8 @@ class FitService:
         )
         # Power-of-two bucket so repeat calls share compiled executables
         # (same policy as the app's gender loop).
-        bucket = 1 << (max(prepared.num_real, 1) - 1).bit_length()
+        bucket = max(self.min_bucket,
+                     1 << (max(prepared.num_real, 1) - 1).bit_length())
         prepared = pad_prepared(prepared, bucket)
         res = sess.fit(model, joints_model, prepared.frames,
                        jnp.asarray(prepared.x0))

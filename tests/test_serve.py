@@ -42,8 +42,11 @@ def make_record(seed=0, name="frame", num_joints=135):
 def service():
     cfg = make_cfg()
     model = synthetic_model(num_verts=96, seed=0)
+    # min_bucket=4: the single-fit and 4-way-coalesce tests share ONE
+    # compiled executable (the production rationale for the knob applies
+    # to suite wall-clock too).
     svc = FitService.from_config(cfg, model=model, max_wait_s=0.3,
-                                 max_batch=8)
+                                 max_batch=8, min_bucket=4)
     yield svc
     svc.stop()
 
@@ -166,7 +169,7 @@ class TestBackpressure:
         from smplifyx_tpu.serve import FitService
 
         svc = FitService(service.session, max_batch=1, max_wait_s=0.01,
-                         max_queue=2)
+                         max_queue=2, min_bucket=4)
         entered = _t.Event()
         release = _t.Event()
         orig = svc._fit_group
