@@ -297,6 +297,19 @@ def run(cfg: Config, model=None, max_frames: Optional[int] = None) -> AppResult:
                         Image.fromarray(s_overlay).save(
                             osp.join(img_dir, f"stage_{s:02d}.png")
                         )
+                # VPoser pose grid (reference fit_single_frame.py:263-271
+                # renders the decoded latent pose via render_smpl_params
+                # when visualizing a vposer fit)
+                if vposer is not None:
+                    from smplifyx_tpu.fitting.params import unpack
+                    from smplifyx_tpu.viz.pose_grid import render_pose_grid
+
+                    seg_i = unpack(settings, res.x[i : i + 1])
+                    pose_i = np.asarray(decode_body(seg_i["body"]))
+                    pg = render_pose_grid(group_model, pose_i, tile=256)
+                    Image.fromarray(pg).save(
+                        osp.join(img_dir, "pose_grid.png")
+                    )
         all_names.extend(batch.names)
         all_losses.append(losses)
         all_evals.append(np.asarray(res.stage_evals)[:, : batch.num_real])

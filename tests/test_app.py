@@ -80,12 +80,18 @@ class TestDemoEndToEnd:
             interpenetration=False,
             maxiters=4,
             interactive=False,
+            visualize=True,
         )
         model = synthetic_model(num_verts=96, seed=1)
         result = run(cfg, model=model)
         assert np.isfinite(result.losses).all()
         d = load_result_pickle(result.result_files[0])
         assert d["body_pose"].shape == (1, 63)  # decoded from the latent
+        # vposer + visualize writes the decoded-pose grid (reference
+        # fit_single_frame.py:263-271 render_smpl_params path)
+        imgs = tmp_path / "out" / "images"
+        grids = sorted(imgs.glob("*/pose_grid.png"))
+        assert grids, list(imgs.rglob("*"))
 
 
     def test_classic_preset_guess_init_path(self, tmp_path, monkeypatch):
