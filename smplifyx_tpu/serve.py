@@ -334,7 +334,15 @@ def serve_http(service: FitService, host: str = "127.0.0.1", port: int = 0):
         def log_message(self, *a):  # quiet
             pass
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog of 5 resets connections
+        # under concurrent bursts (measured: 3/64 requests reset at 32
+        # simultaneous clients, tools/load_serve.py); coalescing serving
+        # WANTS bursts, so size the backlog for them.
+        request_queue_size = 128
+        daemon_threads = True
+
+    server = Server((host, port), Handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server

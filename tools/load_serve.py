@@ -61,6 +61,10 @@ def main(clients=8, per_client=8, max_wait_s=0.25, platform=None,
         kp[:, 2] = 0.9
         return json.dumps({"keypoints": kp.tolist(),
                            "image_size": [640, 640],
+                           # outlive a cold first-bucket compile (the
+                           # service-side default of 300 s can expire
+                           # mid-compile and surface as HTTP 400)
+                           "timeout_s": 590.0,
                            "name": f"load_{i}"}).encode()
 
     def post(i, timeout=600.0):
