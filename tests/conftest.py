@@ -26,7 +26,7 @@ jax.config.update("jax_platforms", "cpu")
 # cache survives clear_caches() and across suite runs, cutting the fast
 # tier's wall clock several-fold after the first run.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest  # noqa: E402
