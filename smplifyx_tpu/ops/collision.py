@@ -349,7 +349,9 @@ def make_collision_fn(
     (oracle-calibrated) budgets.  `window` is accepted for call
     compatibility and ignored.  Budgets measured on a ~21k-face posed,
     self-touching human (tests/test_collision_oracle.py): ~4.0k superblock
-    pairs, ~12.4k block pairs, ~1.6k final pairs — defaults carry ~2x
+    pairs, a few hundred hit-carrying superblock/block pairs, ~1.6k final
+    pairs — the surviving budget knobs (`max_sup_pairs`,
+    `max_hit_sup_pairs`, `max_hit_pairs`, `max_pairs`) all carry ~2x
     margins.  All compactions use the top_k-based `_compact` (see its
     docstring for why top_k and not cumsum/nonzero/scatter); every 8x8 pair
     mask is computed directly in flat [*, P, 64] layout and every packed

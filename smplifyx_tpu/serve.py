@@ -19,9 +19,12 @@ requests into micro-batches:
     POST /fit with an OpenPose-style JSON body -> fitted parameters;
     GET /healthz for liveness. No external dependencies.
 
-Throughput = the bench numbers (131 frames/s/chip collision-off at
-B=128); latency = one bucket fit (~0.25 s at small buckets) + coalescing
-wait, so `max_wait_s` is the knob trading latency for batch efficiency.
+Throughput = the bench numbers (BENCH_r0N.json at the repo root is the
+committed source of truth; r4 measured 257.4 frames/s/chip collision-off
+at B=128 and 18.15 collision-on at B=64); latency = one bucket fit
+(~0.25 s at small buckets) + coalescing wait, so `max_wait_s` is the
+knob trading latency for batch efficiency. SERVE_r0N.json records the
+measured load/latency tables.
 """
 
 from __future__ import annotations
@@ -82,9 +85,14 @@ class FitService:
         self.max_wait_s = float(max_wait_s)
         self.include_vertices = include_vertices
         self.default_gender = default_gender or session.cfg.gender
-        self._queue: "queue.Queue[Optional[FitRequest]]" = queue.Queue(
+        self._queue: "queue.Queue[FitRequest]" = queue.Queue(
             maxsize=int(max_queue)
         )
+        # Shutdown is signalled out-of-band (not via an in-queue sentinel):
+        # with a bounded queue a sentinel re-put can block behind submitters
+        # refilling the freed slot, deadlocking the sole consumer on its own
+        # full queue; an Event has no such interaction with capacity.
+        self._stop = threading.Event()
         self._models = {}          # gender -> (device model, joints model)
         self._joint_weights = session.joint_weights()
         self._lock = threading.Lock()
@@ -105,6 +113,8 @@ class FitService:
                gender: Optional[str] = None) -> Future:
         """Enqueue one frame; the Future resolves to a result dict
         {name, loss, params: {...}, camera_translation[, vertices]}."""
+        if self._stop.is_set():
+            raise RuntimeError("FitService is stopped")
         req = FitRequest(record=record, gender=gender)
         try:
             self._queue.put_nowait(req)
@@ -120,17 +130,26 @@ class FitService:
         return self.submit(record, gender=gender).result(timeout=timeout)
 
     def stop(self, timeout: float = 30.0):
-        self._queue.put(None)
+        """Flush queued requests, then stop the worker. Never blocks on the
+        queue itself (a full bounded queue or a dead worker cannot wedge
+        stop()); worst case it just joins with the timeout."""
+        self._stop.set()
         self._worker.join(timeout=timeout)
 
     # -- worker ----------------------------------------------------------
 
     def _drain(self) -> Optional[list]:
-        """Block for the first request, then coalesce up to max_batch or
-        max_wait_s. None (sentinel seen) -> shut down after flushing."""
-        first = self._queue.get()
-        if first is None:
-            return None
+        """Block for the first request (periodically checking the shutdown
+        flag), then coalesce up to max_batch or max_wait_s. Returns None
+        only once the queue is empty AND stop() was called — so every
+        request enqueued before stop() is still flushed."""
+        while True:
+            try:
+                first = self._queue.get(timeout=0.1)
+                break
+            except queue.Empty:
+                if self._stop.is_set():
+                    return None
         batch = [first]
         deadline = time.monotonic() + self.max_wait_s
         while len(batch) < self.max_batch:
@@ -140,10 +159,6 @@ class FitService:
             try:
                 item = self._queue.get(timeout=remaining)
             except queue.Empty:
-                break
-            if item is None:
-                # put the sentinel back for the outer loop, flush this batch
-                self._queue.put(None)
                 break
             batch.append(item)
         return batch
