@@ -161,9 +161,10 @@ def main():
     # FitOptions.matmul_precision="highest" (the default) adds another
     # ~6%: f32 contractions cut line-search eval counts (231 -> 245 fps)
     # AND fix the 2.3x bf16 reprojection penalty — see
-    # docs/ARCHITECTURE.md "Numerics".  wolfe remains the default for
-    # user runs (cfg/*.yaml); this is the documented throughput
-    # configuration.
+    # docs/ARCHITECTURE.md "Numerics".  Since round 5 this IS the user
+    # default: Config.profile="fast" resolves to exactly this line-search
+    # configuration (utils/config.py), gated by the fast-profile demo
+    # golden and the per-round quality artifact.
     options = FitOptions(
         lbfgs=LBFGSConfig(max_iters=60, history=16, ftol=1e-9, gtol=1e-9,
                           ls_soft_accept=6, ls_mode="armijo", max_evals=90),

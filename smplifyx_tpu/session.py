@@ -237,20 +237,28 @@ def build_fit_session(cfg: Config, model=None) -> FitSession:
         cfg.coll_loss_weights,
     )
     ls, rs = SHOULDER_IDXS_BY_FORMAT[cfg.format.lower()]
-    # Reference budget: maxiters outer x maxiters inner with ftol/gtol early
-    # exit; one flat budget here (overridable via lbfgs_iters_per_stage).
-    lbfgs_iters = cfg.lbfgs_iters_per_stage or cfg.maxiters * 5
+    # Line-search knobs come from cfg.profile (fast: Armijo value-only
+    # trials + eval cap + soft accept — the A/B-proven throughput config;
+    # reference: strong Wolfe, unlimited) unless set explicitly.
+    soft = cfg.resolved_ls_soft_accept
+    soft_kw = {} if soft is None else {"ls_soft_accept": soft}
     options = FitOptions(
         lbfgs=LBFGSConfig(
-            max_iters=lbfgs_iters, history=cfg.history_size,
+            max_iters=cfg.resolved_lbfgs_iters, history=cfg.history_size,
             max_ls=cfg.max_line_search, lr=cfg.lr,
             ftol=cfg.ftol, gtol=cfg.gtol,
             aux_every=cfg.coll_broad_every,
-            ls_mode=cfg.ls_mode,
+            ls_mode=cfg.resolved_ls_mode,
+            max_evals=cfg.resolved_max_evals,
+            **soft_kw,
         ),
+        # The camera stage stays on strong Wolfe in both profiles (the
+        # measured A/B config: the sub-problem is tiny and its convergence
+        # seeds every later stage), but fast's soft-accept applies.
         camera_lbfgs=LBFGSConfig(
             max_iters=cfg.maxiters * 2, history=8, lr=cfg.lr,
             ftol=cfg.ftol, gtol=cfg.gtol,
+            **soft_kw,
         ),
         optim_type=cfg.optim_type,
         try_both_orient=cfg.try_both_orient,

@@ -86,13 +86,39 @@ class Config:
     # every evaluation either way).  The reference rebuilds its BVH every
     # closure evaluation; see fitting/lbfgs.py aux_every for the tradeoff.
     coll_broad_every: int = 1
+    # Optimizer profile — resolves the line-search knobs below when they
+    # are not set explicitly:
+    #   "fast" (DEFAULT): Armijo backtracking with value-only trials, a
+    #     straggler cap on objective evaluations (~1.5x the iteration
+    #     budget, the measured p90 of per-lane eval counts), and
+    #     soft-accept after 6 line-search probes.  A/B-measured against
+    #     strong Wolfe at B=128 (tools/ab_flagship.py, round 4): ~2x
+    #     throughput with final loss 1.2% LOWER and full-scale
+    #     synthetic-GT quality indistinguishable (43.4 vs 43.3 mm PA-V2V)
+    #     — so fast is the production default, not a bench special.
+    #   "reference": strong-Wolfe line search with unlimited evaluations —
+    #     the reference's lbfgs_ls semantics (optimizers/lbfgs_ls.py),
+    #     for trajectory-level comparisons against the torch pipeline.
+    # Quality gates covering the default: tests/test_quality_gate.py
+    # (fast-profile demo golden + synthetic-GT thresholds) and the
+    # per-round TPU quality artifact (tests/test_quality_artifact.py).
+    profile: str = "fast"
     # Line-search algorithm for the body stages: "wolfe" (strong Wolfe,
     # the reference's lbfgs_ls) or "armijo" (backtracking
     # sufficient-decrease; ~1-2 objective evaluations per iteration vs ~5
     # under strong Wolfe on these energies — a throughput knob for
     # collision-enabled fits where each evaluation carries a full-mesh
-    # forward + narrow phase).
-    ls_mode: str = "wolfe"
+    # forward + narrow phase).  None => derived from `profile`.
+    ls_mode: Optional[str] = None
+    # Cap on total objective evaluations per stage (0 = unlimited; None =>
+    # derived from `profile`: fast caps at ~1.5x the iteration budget —
+    # batched fits wait for the slowest lane, and straggler lanes burn ~3x
+    # the median eval count for marginal loss improvement).
+    max_evals: Optional[int] = None
+    # Accept any sufficient-decrease point after this many line-search
+    # probes (None => derived from `profile`: 6 under fast, off under
+    # reference).
+    ls_soft_accept: Optional[int] = None
     point2plane: bool = False
     ign_part_pairs: List[str] = field(default_factory=list)
 
@@ -186,6 +212,40 @@ class Config:
     def num_stages(self) -> int:
         return len(self.body_pose_prior_weights)
 
+    # --- profile resolution (explicit knobs always win) -----------------
+
+    @property
+    def resolved_ls_mode(self) -> str:
+        if self.ls_mode is not None:
+            return self.ls_mode
+        return "armijo" if self.profile == "fast" else "wolfe"
+
+    @property
+    def resolved_lbfgs_iters(self) -> int:
+        """Flat per-stage L-BFGS iteration budget.  The reference runs up
+        to maxiters outer x maxiters inner with ftol/gtol early exits; the
+        reference profile keeps the generous 5x flat cap, fast uses 2x
+        (the bench-measured budget — with ~1.5 evals/iteration under
+        Armijo the eval cap binds first anyway)."""
+        if self.lbfgs_iters_per_stage:
+            return self.lbfgs_iters_per_stage
+        return self.maxiters * (2 if self.profile == "fast" else 5)
+
+    @property
+    def resolved_max_evals(self) -> int:
+        if self.max_evals is not None:
+            return self.max_evals
+        if self.profile == "fast":
+            return (3 * self.resolved_lbfgs_iters) // 2
+        return 0
+
+    @property
+    def resolved_ls_soft_accept(self) -> Optional[int]:
+        """None => LBFGSConfig keeps its own (effectively-off) default."""
+        if self.ls_soft_accept is not None:
+            return self.ls_soft_accept
+        return 6 if self.profile == "fast" else None
+
     # Fields accepted for reference-CLI compatibility but intentionally not
     # consumed anywhere (tests/test_config.py asserts every OTHER field is
     # referenced by the package).  Each entry states why.
@@ -235,7 +295,12 @@ class Config:
         if self.format.lower() not in ("coco25", "coco19", "halpe",
                                        "coco_wholebody"):
             raise ValueError(f"Unknown format {self.format}")
-        if self.ls_mode.lower() not in ("wolfe", "armijo"):
+        if self.profile.lower() not in ("fast", "reference"):
+            raise ValueError(
+                f"Unknown profile {self.profile} (fast | reference)"
+            )
+        if (self.ls_mode is not None
+                and self.ls_mode.lower() not in ("wolfe", "armijo")):
             raise ValueError(f"Unknown ls_mode {self.ls_mode}")
         if self.loss_type.lower() != "smplify":
             raise ValueError(

@@ -36,6 +36,8 @@ pytestmark = pytest.mark.e2e
 
 REF_DEMO = "/root/reference/demo"
 GOLDEN = osp.join(osp.dirname(__file__), "goldens", "demo_fit_golden.json")
+GOLDEN_FAST = osp.join(osp.dirname(__file__), "goldens",
+                       "demo_fit_golden_fast.json")
 
 
 @pytest.mark.slow
@@ -136,9 +138,14 @@ class TestSyntheticGTQuality:
 
 @pytest.mark.skipif(not osp.isdir(REF_DEMO), reason="reference demo absent")
 class TestDemoGoldenRegression:
-    """Fixed-seed demo-fixture fit vs checked-in golden numbers."""
+    """Fixed-seed demo-fixture fit vs checked-in golden numbers.
 
-    def _run(self, tmp_path):
+    Two goldens, one per optimizer profile: `reference` (strong Wolfe —
+    the config the golden tolerances were calibrated under) and `fast`
+    (Armijo value-only, the production default since round 5) — so the
+    path users actually run is golden-gated, not just the parity path."""
+
+    def _run(self, tmp_path, profile):
         from smplifyx_tpu.app import run
         from smplifyx_tpu.models.bodymodel import synthetic_model
         from smplifyx_tpu.utils.config import load_config
@@ -155,6 +162,7 @@ class TestDemoGoldenRegression:
             maxiters=6,
             interactive=False,
             save_vertices=False,
+            profile=profile,
         )
         model = synthetic_model(num_verts=128, seed=0)
         result = run(cfg, model=model)
@@ -169,18 +177,17 @@ class TestDemoGoldenRegression:
             }
         return stats
 
-    def test_matches_golden(self, tmp_path):
-        stats = self._run(tmp_path)
+    def _check(self, stats, golden_path):
         if os.environ.get("REGEN_GOLDEN") == "1":
-            os.makedirs(osp.dirname(GOLDEN), exist_ok=True)
-            with open(GOLDEN, "w") as f:
+            os.makedirs(osp.dirname(golden_path), exist_ok=True)
+            with open(golden_path, "w") as f:
                 json.dump(stats, f, indent=2, sort_keys=True)
-            pytest.skip(f"regenerated {GOLDEN}")
-        assert osp.exists(GOLDEN), (
+            pytest.skip(f"regenerated {golden_path}")
+        assert osp.exists(golden_path), (
             "golden file missing; run REGEN_GOLDEN=1 pytest "
             "tests/test_quality_gate.py"
         )
-        with open(GOLDEN) as f:
+        with open(golden_path) as f:
             golden = json.load(f)
         assert set(stats) == set(golden)
         for name in golden:
@@ -196,3 +203,12 @@ class TestDemoGoldenRegression:
                 0.02 * abs(g["cam_t"][2]) + 1e-3), (name, s, g)
             assert abs(s["cam_t"][0] - g["cam_t"][0]) <= 0.05
             assert abs(s["cam_t"][1] - g["cam_t"][1]) <= 0.05
+
+    def test_matches_golden(self, tmp_path):
+        self._check(self._run(tmp_path, "reference"), GOLDEN)
+
+    def test_matches_golden_fast_profile(self, tmp_path):
+        """The production-default (fast) profile against its own golden —
+        a deliberate config change that shifts these losses must
+        regenerate BOTH goldens and justify it in the commit message."""
+        self._check(self._run(tmp_path, "fast"), GOLDEN_FAST)
