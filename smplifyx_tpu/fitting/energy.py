@@ -115,7 +115,7 @@ def stage_joint_weights(
     return wvec
 
 
-def smplify_energy(
+def smplify_energy_terms(
     x: jax.Array,
     settings: FitSettings,
     model: SMPLXModel,
@@ -131,16 +131,24 @@ def smplify_energy(
     lhand_gmm: Optional[GMMPrior] = None,
     rhand_gmm: Optional[GMMPrior] = None,
     collision_aux=None,
-) -> jax.Array:
-    """Full SMPLify objective for ONE frame (flat params [D] -> scalar).
+) -> dict:
+    """Per-term SMPLify objective breakdown for ONE frame.
 
-    vmap over (x, frame) for the batch; `decode_body`, `model`, tables are
-    closed over.  stage_idx is traced so one compilation serves all stages.
-
-    Every term except the collision penalty depends on the params and the
-    MAPPED JOINTS only, so when a JointsModel is available and the collision
-    term is off, the full-mesh skinning is skipped entirely (measured
-    5.3 -> 1.6 ms per energy evaluation at B=64, V=10475 on v5e).
+    Returns a dict of scalar terms whose sum is `smplify_energy`; key ->
+    reference counterpart in SMPLifyLoss.forward (fitting.py:375-461):
+      data        joint_loss            (:386-388)
+      pose_prior  pprior_loss           (:390-401, incl. the last-stage
+                                         deviation rule under vposer+reg)
+      shape       shape_loss            (:403-404)
+      bending     angle_prior_loss      (:407-408, weight NOT squared)
+      hands       left+right hand prior (:411-422)
+      expression  expression_loss       (:425-429)
+      jaw         jaw_prior_loss        (:431-435)
+      collision   pen_loss              (:437-455)
+    The per-term reference differential lives in
+    tests/test_reference_parity.py::TestSMPLifyLossParity, which isolates
+    each reference term by zeroing every other weight through the actual
+    SMPLifyLoss.forward.
     """
     params, cam_t, body_raw = body_params_from_flat(
         settings, x[None], lambda b: decode_body(b)
@@ -220,15 +228,14 @@ def smplify_energy(
                      settings.right_hand_prior_type, rhand_gmm)
     )
 
-    face_loss = 0.0
+    expr_loss = jnp.asarray(0.0)
+    jaw_loss = jnp.asarray(0.0)
     if settings.use_face:
         expr_loss = jnp.sum(params.expression[0] ** 2) * w.expr_prior_weight**2
-        jaw_loss = 0.0
         if settings.jaw_prior_type != "none":
             # L2 on jaw_pose scaled elementwise by the 3-vector jaw weight
             # (reference fitting.py:431-435)
             jaw_loss = jnp.sum((params.jaw_pose[0] * w.jaw_prior_weight) ** 2)
-        face_loss = expr_loss + jaw_loss
 
     pen_loss = 0.0
     if settings.interpenetration and collision_fn is not None:
@@ -240,7 +247,34 @@ def smplify_energy(
             pen = collision_fn(vertices[0])
         pen_loss = w.coll_loss_weight * pen
 
-    return joint_loss + pprior + shape_loss + bend + hand_loss + face_loss + pen_loss
+    return {
+        "data": joint_loss,
+        "pose_prior": pprior,
+        "shape": shape_loss,
+        "bending": bend,
+        "hands": hand_loss,
+        "expression": expr_loss,
+        "jaw": jaw_loss,
+        "collision": pen_loss,
+    }
+
+
+def smplify_energy(*args, **kwargs) -> jax.Array:
+    """Full SMPLify objective for ONE frame (flat params [D] -> scalar):
+    the sum of `smplify_energy_terms` (XLA fuses the breakdown away).
+
+    vmap over (x, frame) for the batch; `decode_body`, `model`, tables are
+    closed over.  stage_idx is traced so one compilation serves all stages.
+
+    Every term except the collision penalty depends on the params and the
+    MAPPED JOINTS only, so when a JointsModel is available and the collision
+    term is off, the full-mesh skinning is skipped entirely (measured
+    5.3 -> 1.6 ms per energy evaluation at B=64, V=10475 on v5e).
+    """
+    terms = smplify_energy_terms(*args, **kwargs)
+    return (terms["data"] + terms["pose_prior"] + terms["shape"]
+            + terms["bending"] + terms["hands"] + terms["expression"]
+            + terms["jaw"] + terms["collision"])
 
 
 def _mapped_joints(settings: FitSettings, model, params, joint_map,

@@ -503,6 +503,17 @@ class TestSMPLifyLossParity:
     jaw 3-vector elementwise weight, bending-not-squared, the
     last-stage-only deviation rule — against fitting.py:375-461 for every
     stage of all four shipped presets plus the GMM body-prior path.
+
+    Coverage is at TWO granularities per stage: the stage TOTAL, and then
+    each of smplify_energy_terms' seven non-collision terms individually
+    against the reference value isolated by zeroing every other term's
+    weight through the actual forward (reset_loss_weights) — so a
+    regression localizes to the exact term and compensating errors
+    between mis-scaled terms cannot cancel.  The interpenetration term is
+    the one permanent exclusion: the reference side needs CUDA
+    torch-mesh-isect (fit_single_frame.py:300-328), absent here;
+    collision correctness rests on the exact all-pairs oracle in
+    tests/test_collision_oracle.py.
     """
 
     PRESETS = {
@@ -644,31 +655,31 @@ class TestSMPLifyLossParity:
             num_stages=num_stages,
         )
 
-    def _compare_stage(self, ref, settings, model, joint_map, decode, x,
-                       frame, base_jw, wdict, our_w, stage, num_stages,
-                       loss, rtol=1e-4):
-        import jax.numpy as jnp
+    # weights each term owns; isolating a reference term = zeroing every
+    # OTHER term's weights and running the ACTUAL SMPLifyLoss.forward
+    TERM_WEIGHTS = {
+        "data": ("data_weight",),
+        "pose_prior": ("body_pose_weight",),
+        "shape": ("shape_weight",),
+        "bending": ("bending_prior_weight",),
+        "hands": ("hand_prior_weight",),
+        "expression": ("expr_prior_weight",),
+        "jaw": ("jaw_prior_weight",),
+    }
+    ALL_TERM_WEIGHTS = tuple(
+        w for ws in TERM_WEIGHTS.values() for w in ws
+    )
 
-        from smplifyx_tpu.fitting.energy import smplify_energy
-        from smplifyx_tpu.fitting.params import unpack
-
-        # --- ours
-        ours = float(smplify_energy(
-            jnp.asarray(x), settings, model, frame, our_w,
-            jnp.asarray(stage), num_stages, decode, joint_map,
-        ))
-
-        # --- reference
-        fake, cam, body_raw = self._fake_output_and_camera(
-            ref, settings, model, joint_map, decode, x, frame)
+    def _ref_eval(self, loss, wdict, fake, cam, frame, base_jw, stage,
+                  settings, pe):
+        """Evaluate the reference SMPLifyLoss with the given weight dict."""
         loss.reset_loss_weights(wdict)
         nb = settings.num_body_kp
         jw = base_jw.copy()
         jw[nb:nb + 42] = wdict.get("hand_weight", 1.0)
         jw[nb + 42:] = wdict.get("face_weight", 1.0)
-        pe = torch.from_numpy(body_raw)[None]
         with torch.no_grad():
-            ref_total = loss(
+            return loss(
                 fake, cam,
                 gt_joints=torch.from_numpy(
                     np.asarray(frame.gt_joints))[None],
@@ -678,8 +689,48 @@ class TestSMPLifyLossParity:
                 stage=stage, use_vposer=settings.use_vposer,
                 pose_embedding=pe,
             ).item()
+
+    def _compare_stage(self, ref, settings, model, joint_map, decode, x,
+                       frame, base_jw, wdict, our_w, stage, num_stages,
+                       loss, rtol=1e-4):
+        import jax.numpy as jnp
+
+        from smplifyx_tpu.fitting.energy import smplify_energy_terms
+
+        # --- ours: full per-term breakdown
+        our_terms = {
+            k: float(v) for k, v in smplify_energy_terms(
+                jnp.asarray(x), settings, model, frame, our_w,
+                jnp.asarray(stage), num_stages, decode, joint_map,
+            ).items()
+        }
+        ours = sum(our_terms.values())
+
+        # --- reference: stage total, then each term isolated by zeroing
+        # every other weight through the actual forward
+        fake, cam, body_raw = self._fake_output_and_camera(
+            ref, settings, model, joint_map, decode, x, frame)
+        pe = torch.from_numpy(body_raw)[None]
+        ref_total = self._ref_eval(loss, wdict, fake, cam, frame, base_jw,
+                                   stage, settings, pe)
         np.testing.assert_allclose(ours, ref_total, rtol=rtol,
                                    atol=1e-3), (ours, ref_total)
+
+        ref_terms = {}
+        for term, own in self.TERM_WEIGHTS.items():
+            iso = dict(wdict)
+            for wname in self.ALL_TERM_WEIGHTS:
+                if wname in own:
+                    continue
+                iso[wname] = ([0.0] * 3 if wname == "jaw_prior_weight"
+                              else 0.0)
+            ref_terms[term] = self._ref_eval(
+                loss, iso, fake, cam, frame, base_jw, stage, settings, pe)
+            np.testing.assert_allclose(
+                our_terms[term], ref_terms[term], rtol=rtol, atol=1e-3,
+                err_msg=f"term {term!r} at stage {stage}")
+        # restore the stage weights on the shared loss module
+        loss.reset_loss_weights(wdict)
         return ours, ref_total
 
     @pytest.mark.parametrize("preset", sorted(PRESETS))
@@ -832,3 +883,113 @@ class TestSMPLifyLossParity:
                 ).item()
             # GMM NLL itself matches at ~2e-3 (merged-path log-sum ordering)
             np.testing.assert_allclose(ours, rv, rtol=3e-3, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Camera-init energy differential
+# ---------------------------------------------------------------------------
+
+class TestCameraInitLossParity:
+    """camera_init_energy vs the reference's SMPLifyCameraInitLoss
+    (fitting.py:464-520), both conf modes, through the ACTUAL torch
+    module — completing the stage-0 leg of the energy differential.
+
+    The reference's use_conf=True path carries a broadcast quirk: the
+    already-[1,J,1] conf tensor is unsqueezed AGAIN before squaring, so
+    the conf^2 factor outer-products against the per-joint error and the
+    term becomes sum(err) * sum(conf^2) (a global scale, not per-joint
+    weighting).  camera_conf_mode='global_scale' reproduces it bug-for-bug
+    and this test pins that against the real module.
+    """
+
+    INIT_IDXS = [9, 12, 2, 5]
+
+    def _setup(self, conf_mode, seed=37):
+        import jax.numpy as jnp
+
+        from smplifyx_tpu.fitting.params import FitSettings
+
+        h = TestSMPLifyLossParity()
+        settings, model, joint_map, decode, x, frame, base_jw = \
+            h._make_problem("coco25", 25, False, False, seed=seed)
+        settings = FitSettings(
+            use_vposer=False, has_regression_prior=False,
+            use_face_contour=True, num_body_kp=25,
+            body_prior_type="l2", camera_conf_mode=conf_mode,
+        )
+        K = int(frame.conf.shape[0])
+        mask = np.zeros((K,), np.float32)
+        mask[self.INIT_IDXS] = 1.0
+        frame = frame.replace(
+            init_joints_mask=jnp.asarray(mask),
+            trans_estimation=jnp.asarray([0.0, 0.0, 4.2], jnp.float32),
+            depth_loss_weight=jnp.asarray(100.0, jnp.float32),
+        )
+        return h, settings, model, joint_map, decode, x, frame
+
+    @pytest.mark.parametrize("conf_mode,use_conf", [
+        ("none", False), ("global_scale", True),
+    ])
+    def test_matches_reference(self, ref, conf_mode, use_conf):
+        import jax.numpy as jnp
+
+        from smplifyx_tpu.fitting.energy import camera_init_energy
+
+        h, settings, model, joint_map, decode, x, frame = \
+            self._setup(conf_mode)
+        ours = float(camera_init_energy(
+            jnp.asarray(x), settings, model, frame, decode, joint_map,
+        ))
+
+        fake, cam, _ = h._fake_output_and_camera(
+            ref, settings, model, joint_map, decode, x, frame)
+        loss = ref.fitting.SMPLifyCameraInitLoss(
+            init_joints_idxs=torch.tensor(self.INIT_IDXS, dtype=torch.long),
+            trans_estimation=torch.from_numpy(np.asarray(
+                frame.trans_estimation, np.float32))[None],
+            data_weight=float(frame.data_weight),
+            depth_loss_weight=float(frame.depth_loss_weight),
+            joints_conf=torch.from_numpy(np.asarray(frame.conf))[None],
+            use_conf=use_conf,
+        )
+        with torch.no_grad():
+            rv = loss(
+                fake, cam,
+                gt_joints=torch.from_numpy(
+                    np.asarray(frame.gt_joints))[None],
+            ).item()
+        np.testing.assert_allclose(ours, rv, rtol=1e-4, atol=1e-3)
+        assert ours != 0.0
+
+    def test_depth_term_moves(self, ref):
+        """The depth regularizer must respond to cam_t z exactly like the
+        reference's (weight^2 * squared depth gap)."""
+        import jax.numpy as jnp
+
+        from smplifyx_tpu.fitting.energy import camera_init_energy
+
+        h, settings, model, joint_map, decode, x, frame = \
+            self._setup("none")
+        x2 = x.copy()
+        x2[2] = 6.0  # move depth away from trans_estimation z
+        vals = []
+        for xv in (x, x2):
+            ours = float(camera_init_energy(
+                jnp.asarray(xv), settings, model, frame, decode, joint_map,
+            ))
+            fake, cam, _ = h._fake_output_and_camera(
+                ref, settings, model, joint_map, decode, xv, frame)
+            loss = ref.fitting.SMPLifyCameraInitLoss(
+                init_joints_idxs=torch.tensor(self.INIT_IDXS, dtype=torch.long),
+                trans_estimation=torch.from_numpy(np.asarray(
+                    frame.trans_estimation, np.float32))[None],
+                data_weight=float(frame.data_weight),
+                depth_loss_weight=float(frame.depth_loss_weight),
+                use_conf=False,
+            )
+            with torch.no_grad():
+                rv = loss(fake, cam, gt_joints=torch.from_numpy(
+                    np.asarray(frame.gt_joints))[None]).item()
+            np.testing.assert_allclose(ours, rv, rtol=1e-4, atol=1e-3)
+            vals.append(ours)
+        assert vals[1] != vals[0]
