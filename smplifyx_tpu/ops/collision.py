@@ -26,8 +26,9 @@ across a whole line search (see `make_collision_fn`).
 
 Budget calibration (tests/test_collision_oracle.py measures this against an
 exact all-pairs oracle on a ~21k-face posed-human proxy mesh with real
-self-contacts): ~4.0k superblock pairs, ~12.4k block pairs, ~1.6k final
-pairs survive; the defaults carry ~2x margins and the oracle test asserts
+self-contacts): ~4.0k superblock pairs, ~2.0k hit-carrying superblock
+pairs, ~0.4k hit-carrying block pairs, ~1.6k final pairs survive; the
+defaults carry >= 2x margins and the oracle test asserts
 the hierarchy finds EVERY surviving pair at those settings.
 
 The cone field is a re-design, not a translation of the CUDA kernel: for a
@@ -159,32 +160,70 @@ def _use_pallas_narrow() -> bool:
     return _on_tpu()
 
 
+def _split3f(x: jax.Array):
+    """f32 -> three bf16 digits whose f32 sum reconstructs x EXACTLY
+    (two 8-bit bf16 mantissa digits leave a residual of <= 8 significant
+    bits, itself bf16-exact — the same trick as ops/gather_pallas.py).
+    Lets a one-hot contraction against arbitrary f32 values run as three
+    bf16 MXU passes with a bit-exact f32 result."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _oh_gather_small(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """table [N, W] f32, ids [R] int -> table[ids] [R, W] as ONE-LEVEL
+    one-hot matmuls, for SMALL row counts (N up to a few thousand).
+
+    The TPU's native row gather serializes on the scalar core at
+    ~10 ns/row-lane regardless of width; a [R, N] bf16 one-hot against the
+    broad-phase tables (N = 327 superblocks / 2614 blocks) turns the same
+    fetch into MXU work measured ~5-10x cheaper at funnel scale.  Bit-exact
+    via the 3-digit value split (`_split3f`); precision pinned DEFAULT
+    because the operands are already bf16."""
+    N, W = table.shape
+    R = ids.shape[0]
+    oh = (ids[:, None] == jnp.arange(N, dtype=ids.dtype)[None, :]).astype(
+        jnp.bfloat16)                                   # [R, N] exact
+    out = jnp.zeros((R, W), jnp.float32)
+    for part in _split3f(table):
+        out = out + jax.lax.dot(
+            oh, part, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+    return out
+
+
 def _gather_rows_mm(table: jax.Array, ids: jax.Array) -> jax.Array:
-    """table [V, 3], ids [R] int -> table[ids] [R, 3] as matmuls.
+    """table [N, W] (W small), ids [R] int -> table[ids] [R, W] as matmuls.
 
     Same two-level trick as `_scatter_add_mm`, transposed: the hi-level
     one-hot contracts against the row-blocked table on the MXU, the
     lo-level one-hot selects within the block on the VPU.  Bit-exact
-    (one-hot operand, Precision.HIGHEST) and measured 1.6x over the serial
-    native gather at collision-apply scale (5.3 ms vs 8.3 ms for
-    [32, 24576] rows from [10475, 3] on v5e).
+    (one-hot operand; the value side runs as three exact bf16 digits,
+    `_split3f`) and measured 1.6x over the serial native gather at
+    collision-apply scale even in its original f32-HIGHEST form
+    (5.3 ms vs 8.3 ms for [32, 24576] rows from [10475, 3] on v5e).
     """
     L = _GATHER_L
-    V = table.shape[0]
-    H = -(-V // L)
+    N, W = table.shape
+    H = -(-N // L)
     R = ids.shape[0]
     hi = ids // L
     lo = ids % L
     f32 = jnp.float32
-    oh_hi = (hi[:, None] == jnp.arange(H, dtype=ids.dtype)[None, :])
+    oh_hi = (hi[:, None] == jnp.arange(H, dtype=ids.dtype)[None, :]).astype(
+        jnp.bfloat16)
     oh_lo = (lo[:, None] == jnp.arange(L, dtype=ids.dtype)[None, :])
     vr = jnp.concatenate(
-        [table, jnp.zeros((H * L - V, 3), table.dtype)]).reshape(H, L * 3)
-    tmp = jnp.einsum(
-        "rh,hf->rf", oh_hi.astype(f32), vr,
-        preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
-    )
-    return jnp.sum(tmp.reshape(R, L, 3) * oh_lo.astype(f32)[:, :, None],
+        [table, jnp.zeros((H * L - N, W), table.dtype)]).reshape(H, L * W)
+    tmp = jnp.zeros((R, L * W), f32)
+    for part in _split3f(vr):
+        tmp = tmp + jax.lax.dot(
+            oh_hi, part, preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT)
+    return jnp.sum(tmp.reshape(R, L, W) * oh_lo.astype(f32)[:, :, None],
                    axis=1)
 
 
@@ -312,7 +351,7 @@ def make_collision_fn(
     max_block_pairs: int = 0,               # deprecated, ignored (see below)
     max_sup_pairs: int = 8192,
     max_hit_sup_pairs: int = 4096,
-    max_hit_pairs: int = 4096,
+    max_hit_pairs: int = 1024,
     sigma: float = 1e-4,
     penalize_outside: bool = True,
     point2plane: bool = False,
@@ -348,11 +387,13 @@ def make_collision_fn(
     top level tests all superblock pairs, so the result is exact up to the
     (oracle-calibrated) budgets.  `window` is accepted for call
     compatibility and ignored.  Budgets measured on a ~21k-face posed,
-    self-touching human (tests/test_collision_oracle.py): ~4.0k superblock
-    pairs, a few hundred hit-carrying superblock/block pairs, ~1.6k final
-    pairs — the surviving budget knobs (`max_sup_pairs`,
-    `max_hit_sup_pairs`, `max_hit_pairs`, `max_pairs`) all carry ~2x
-    margins.  All compactions use the top_k-based `_compact` (see its
+    self-touching human (tests/test_collision_oracle.py): 3994 superblock
+    pairs, 1966 hit-carrying superblock pairs, 385 hit-carrying block
+    pairs, 1548 final pairs — the surviving budget knobs (`max_sup_pairs`,
+    `max_hit_sup_pairs`, `max_hit_pairs`, `max_pairs`) all carry >= 2x
+    margins (hit level: 2.7x at the r5 default of 1024, chosen because the
+    final position top_k — the funnel's most expensive op — runs over
+    [max_hit_pairs * 64] elements).  All compactions use the top_k-based `_compact` (see its
     docstring for why top_k and not cumsum/nonzero/scatter); every 8x8 pair
     mask is computed directly in flat [*, P, 64] layout and every packed
     table gather returns [*, P, C*8] — trailing-8 axes pad 14-64x under TPU
@@ -424,6 +465,19 @@ def make_collision_fn(
                 | (_interleave3(qi[:, 2]) << 2))
         return jnp.argsort(code)
 
+    # TPU-only routing of the funnel's row fetches onto the MXU as one-hot
+    # contractions (`_oh_gather_small` / `_gather_rows_mm`): the native row
+    # gather serializes on the scalar core at ~10 ns/row-lane, which at
+    # B=64 made the id-chain and table fetches ~45% of every broad-phase
+    # refresh.  On CPU the native gathers are vectorized and faster.
+    _use_mm = _on_tpu()
+
+    def _g_small(table, ids):
+        return _oh_gather_small(table, ids) if _use_mm else table[ids]
+
+    def _g_mm(table, ids):
+        return _gather_rows_mm(table, ids) if _use_mm else table[ids]
+
     def candidate_pairs(vertices: jax.Array, return_counts: bool = False,
                         order: Optional[jax.Array] = None):
         """Broad phase: -> (idx_a [P], idx_b [P], valid [P] bool).  No
@@ -437,19 +491,39 @@ def make_collision_fn(
 
         order: optional precomputed triangle permutation (see
         `morton_order`); default recomputes it at the given vertices."""
+        if order is None:
+            order = morton_order(vertices)
+        out = _funnel(*_sorted_tables(vertices, order),
+                      return_counts=return_counts)
+        (ra_f, rb_f, validT), counts = out
+        # map sorted (padded) ranks back to original face ids, one fetch
+        fp32 = jnp.float32
+        order_f = order.astype(fp32)
+        rr = jnp.minimum(jnp.concatenate([ra_f, rb_f]), F - 1)
+        oo = _g_mm(order_f[:, None],
+                   rr.astype(jnp.int32))[:, 0].astype(jnp.int32)  # [2P]
+        idx_a = oo[:P]
+        idx_b = oo[P:]
+        if return_counts:
+            return (idx_a, idx_b, validT), counts
+        return idx_a, idx_b, validT
+
+    def _sorted_tables(vertices, order):
+        """Sorted, padded funnel inputs (amin_s/amax_s [Fp, 3],
+        segm_sp/parents_sp [Fp]) at the given Morton order.
+
+        AABBs are computed on the CONSTANT face table and then permuted
+        with ONE packed [F, 8] row gather: XLA lowers constant-index
+        gathers onto the vector path, while gathering corners through
+        runtime (per-lane) sorted face ids measured ~6x slower at B=64
+        (~58 ms of serial gather machinery vs ~12 ms for
+        constant-gather + packed permutation).  12+ separate per-field
+        permutation gathers would likewise cost 12x the one packed fetch
+        (gather cost is per ROW, ~10 ns/row-lane, width-insensitive)."""
         tris = jax.lax.stop_gradient(vertices[faces])   # [F, 3, 3]
         aabb_min = jnp.min(tris, axis=1)                # [F, 3]
         aabb_max = jnp.max(tris, axis=1)
-
-        if order is None:
-            order = morton_order(vertices)
-
         big = jnp.asarray(1e30, aabb_min.dtype)
-        # Apply the Morton permutation with ONE row gather: gather cost on
-        # TPU is per ROW (~10 ns/row-lane) with near-zero width sensitivity,
-        # so permuting aabb_min/aabb_max/segm/parents as four separate
-        # gathers costs 4x one packed [F, 8] gather (measured 19 ms -> ~5 ms
-        # of the B=32 build; tools/trace_build.py fusions 1/2/4/5).
         perm_cols = [aabb_min, aabb_max]                # [F, 3] x2
         if segm_j is not None:
             perm_cols += [jnp.broadcast_to(segm_j[:F, None], (F, 1)),
@@ -459,7 +533,20 @@ def make_collision_fn(
             [packed_s[:, 0:3], jnp.full((pad, 3), big)], axis=0)   # [Fp, 3]
         amax_s = jnp.concatenate(
             [packed_s[:, 3:6], jnp.full((pad, 3), -big)], axis=0)  # empty
+        if segm_j is not None:
+            segm_sp = jnp.concatenate([packed_s[:, 6], segm_j[F:]])  # [Fp]
+            parents_sp = jnp.concatenate([packed_s[:, 7], parents_j[F:]])
+        else:
+            segm_sp = parents_sp = None
+        return amin_s, amax_s, segm_sp, parents_sp
 
+    def _funnel(amin_s, amax_s, segm_sp, parents_sp, return_counts=False):
+        """Three-level compaction funnel over SORTED, PADDED tables
+        (amin_s/amax_s [Fp, 3], segm_sp/parents_sp [Fp]) ->
+        ((ra_f, rb_f [P] f32 triangle RANKS, valid [P] bool), counts).
+        Ranks are in the sorted/padded index space; callers map them to
+        face ids (`candidate_pairs`) or corner vertex ids (`build`)."""
+        big = jnp.asarray(1e30, amin_s.dtype)
         bmin = amin_s.reshape(nb, _BLK, 3).min(axis=1)  # [nb, 3]
         bmax = amax_s.reshape(nb, _BLK, 3).max(axis=1)
         smin = jnp.concatenate(
@@ -470,11 +557,8 @@ def make_collision_fn(
         ).reshape(ns, _SUP, 3).max(axis=1)
 
         if segm_j is not None:
-            # permuted in the packed gather above; pad sentinels at the tail
-            segm_s = jnp.concatenate([packed_s[:, 6], segm_j[F:]])  # [Fp]
-            parents_s = jnp.concatenate([packed_s[:, 7], parents_j[F:]])
-            sgb = segm_s.reshape(nb, _BLK)
-            prb = parents_s.reshape(nb, _BLK)
+            sgb = segm_sp.reshape(nb, _BLK)
+            prb = parents_sp.reshape(nb, _BLK)
             # Uniform = one part AND one parent across the block (pad
             # sentinels break uniformity, which is conservative).
             buni = (jnp.all(sgb == sgb[:, :1], axis=1)
@@ -555,8 +639,8 @@ def make_collision_fn(
             ba_ = si_[:, None] * _SUP + ii[None, :]     # [N, 64]
             bb_ = sj_[:, None] * _SUP + jj[None, :]
             m = valid_[:, None] & (ba_ <= bb_) & (ba_ < nb) & (bb_ < nb)
-            A_ = sup_tab[si_]                           # [N, C*8]
-            B_ = sup_tab[sj_]
+            A_ = _g_small(sup_tab, si_)                 # [N, C*8]
+            B_ = _g_small(sup_tab, sj_)
             for k in range(3):
                 m &= (_eb(B_[:, k * 8:(k + 1) * 8])
                       <= _ea(A_[:, (3 + k) * 8:(4 + k) * 8])) \
@@ -582,7 +666,7 @@ def make_collision_fn(
         hit_s = jnp.any(mb, axis=1)                     # [Ps]
         posHS, validHS = _compact(hit_s, Phs)
         sij = jnp.stack([si_f, sj_f], axis=-1)          # [Ps, 2]
-        g_hs = sij[posHS]                               # [Phs, 2] one gather
+        g_hs = _g_mm(sij, posHS)                        # [Phs, 2] one fetch
         si_h = g_hs[:, 0].astype(jnp.int32)
         sj_h = g_hs[:, 1].astype(jnp.int32)
         mb_h = blk_mask(si_h, sj_h, validHS)            # [Phs, 64]
@@ -620,6 +704,8 @@ def make_collision_fn(
             ra_ = bi_[:, None] * _BLK + ii[None, :]     # [N, 64]
             rb_ = bj_[:, None] * _BLK + jj[None, :]
             m = valid_[:, None] & (ra_ < rb_)
+            # native row gather: at the post-r5 Ph budget (1024 rows) the
+            # scalar-core fetch is already cheaper than a [N, nb] one-hot
             A_ = blk_tab[bi_]                           # [N, C*8] one gather
             B_ = blk_tab[bj_]
             for k in range(3):
@@ -646,8 +732,8 @@ def make_collision_fn(
         # 2 x 28k rows of 64 lanes ~7x).  The per-pair tri tests become
         # dense VPU math over [Phs, 8j, 8ti, 8tj] slices, one slice per
         # A-side block (fuses into the any-reduction; ~3 ms of VPU work).
-        A8 = blk_tab8[si_h].reshape(Phs, _SUP, Cb, _BLK)
-        B8 = blk_tab8[sj_h].reshape(Phs, _SUP, Cb, _BLK)
+        A8 = _g_small(blk_tab8, si_h).reshape(Phs, _SUP, Cb, _BLK)
+        B8 = _g_small(blk_tab8, sj_h).reshape(Phs, _SUP, Cb, _BLK)
         ti_r = jnp.arange(_BLK)
         hit_cols = []
         for i in range(_SUP):
@@ -678,10 +764,24 @@ def make_collision_fn(
         # mesh's hit-pair count <= Ph — asserted with margin by the
         # budget-headroom test), recompute their exact 8x8 masks, and run
         # the final top_k over [Ph * 64] only.
-        posH, validH = _compact(hit_bp.reshape(-1), Ph)
-        pih = posH // (_SUP * _SUP)
+        #
+        # TWO-STAGE: first compact the hit-CARRYING ROWS of hit_bp (there
+        # are at most as many as hit block pairs, so the same Ph budget
+        # bounds them losslessly), then run the flat position top_k over
+        # [Ph * 64] instead of [Phs * 64].  At the defaults this shrinks
+        # the funnel's single most expensive op — a [Phs*64 = 262144]-wide
+        # batched sort — 4x, with a bit-identical survivor list (row-major
+        # order is preserved when empty rows drop out).
+        hit_f = hit_bp.astype(fp32)                     # f32: vector gather
+        Phr = min(Ph, Phs)                              # rows <= Phs
+        rowH, validRH = _compact(jnp.any(hit_bp, axis=1), Phr)
+        hit_rows = (hit_f[rowH] > 0.5) & validRH[:, None]   # [Phr, 64]
+        posH, validH = _compact(hit_rows.reshape(-1), Ph)
+        pih2 = posH // (_SUP * _SUP)                    # index into rowH
         wbh = posH % (_SUP * _SUP)
-        gh = g_hs[pih]                                  # [Ph, 2] one gather
+        pih = _g_mm(rowH.astype(fp32)[:, None],
+                    pih2)[:, 0].astype(jnp.int32)       # original row
+        gh = _g_mm(g_hs, pih)                           # [Ph, 2] one fetch
         bi_h_f = jnp.minimum(
             gh[:, 0] * _SUP + (wbh // _SUP).astype(fp32), nb - 1)
         bj_h_f = jnp.minimum(
@@ -691,15 +791,10 @@ def make_collision_fn(
         posT, validT = _compact(mt_h.reshape(-1), P)
         th = posT // (_BLK * _BLK)                      # index into Ph
         wt = posT % (_BLK * _BLK)
-        gt = jnp.stack([bi_h_f, bj_h_f], axis=-1)[th]   # [P, 2] one gather
+        gt = _g_mm(jnp.stack([bi_h_f, bj_h_f], axis=-1), th)  # [P, 2]
         ra_f = gt[:, 0] * _BLK + (wt // _BLK).astype(fp32)
         rb_f = gt[:, 1] * _BLK + (wt % _BLK).astype(fp32)
-        # map sorted (padded) ranks back to original face ids, one gather
-        order_f = order.astype(fp32)
-        rr = jnp.minimum(jnp.concatenate([ra_f, rb_f]), F - 1)
-        oo = order_f[rr.astype(jnp.int32)].astype(jnp.int32)  # [2P]
-        idx_a = oo[:P]
-        idx_b = oo[P:]
+        counts = None
         if return_counts:
             counts = {
                 "superblock": (jnp.sum(ms), Ps),
@@ -707,8 +802,7 @@ def make_collision_fn(
                 "hit": (total_hits_bp, Ph),
                 "final": (jnp.sum(mt_h), P),
             }
-            return (idx_a, idx_b, validT), counts
-        return idx_a, idx_b, validT
+        return (ra_f, rb_f, validT), counts
 
     def saturation(vertices: jax.Array):
         """Surviving-pair counts vs budgets at each hierarchy level:
@@ -718,35 +812,46 @@ def make_collision_fn(
         _, counts = candidate_pairs(vertices, return_counts=True)
         return counts
 
-    def _resolve_corners(idx_a, idx_b, valid, order):
-        vv = faces_f[jnp.concatenate([idx_a, idx_b])].astype(jnp.int32)
-        return (vv[: idx_a.shape[0]], vv[idx_a.shape[0]:], valid,
-                order.astype(jnp.int32))
+    def _sorted_pack_of(order):
+        """Sorted corner-vertex-id table [F, 3] f32 for the rank->corner
+        resolve (ONE row fetch, cached in the aux so neither refreshes nor
+        resolves re-permute it)."""
+        return _g_mm(faces_f, order) if _use_mm else faces_f[order]
+
+    def _resolve_ranks(ra_f, rb_f, valid, order, sorted_pack):
+        """Map surviving triangle RANKS to corner vertex ids via the sorted
+        corner table (the face->corner lookup depends only on the pair
+        list, so hoisting it here removes two [P]-row gathers from every
+        line-search eval)."""
+        rr = jnp.minimum(jnp.concatenate([ra_f, rb_f]), F - 1)
+        vv = _g_mm(sorted_pack[:, :3], rr.astype(jnp.int32)) \
+            .astype(jnp.int32)                          # [2P, 3]
+        return (vv[:P], vv[P:], valid, order.astype(jnp.int32), sorted_pack)
 
     def build(vertices: jax.Array):
-        """Broad phase as reusable aux: the compacted pair list, resolved
-        to corner VERTEX ids (va/vb [P, 3]) rather than face ids — the
-        face->corner lookup depends only on the pair list, so hoisting it
-        here removes two [P]-row gathers from every line-search eval.
-
-        The aux also carries the Morton permutation (4th element) so
-        `build_refresh` can re-run the funnel WITHOUT the batched argsort
-        (the single most expensive broad-phase op)."""
+        """Broad phase as reusable aux: the compacted pair list resolved to
+        corner VERTEX ids (va/vb [P, 3]), the Morton permutation (4th
+        element), and the sorted corner/part tables (5th) — so
+        `build_refresh` re-runs the funnel WITHOUT the batched argsort (the
+        single most expensive broad-phase op) and WITHOUT the packed
+        permutation gather."""
         order = morton_order(vertices)
-        idx_a, idx_b, valid = candidate_pairs(vertices, order=order)
-        return _resolve_corners(idx_a, idx_b, valid, order)
+        sorted_pack = _sorted_pack_of(order)
+        (ra_f, rb_f, valid), _ = _funnel(*_sorted_tables(vertices, order))
+        return _resolve_ranks(ra_f, rb_f, valid, order, sorted_pack)
 
     def build_refresh(vertices: jax.Array, aux):
         """Broad-phase refresh that REUSES the previous aux's Morton order
-        instead of re-sorting.  The funnel's superblock level is all-pairs,
-        so the result is exact up to the budgets for ANY order; a stale
-        order only loosens the 8/64-triangle groupings (poses drift slowly
-        within a stage), trading survivor-count headroom for skipping the
-        argsort on every refresh.  Re-sorting happens wherever `build` is
-        called — in the staged pipeline, once per collision stage."""
-        order = aux[3]
-        idx_a, idx_b, valid = candidate_pairs(vertices, order=order)
-        return _resolve_corners(idx_a, idx_b, valid, order)
+        (and sorted tables) instead of re-sorting.  The funnel's superblock
+        level is all-pairs, so the result is exact up to the budgets for
+        ANY order; a stale order only loosens the 8/64-triangle groupings
+        (poses drift slowly within a stage), trading survivor-count
+        headroom for skipping the argsort on every refresh.  Re-sorting
+        happens wherever `build` is called — in the staged pipeline, once
+        per collision stage."""
+        order, sorted_pack = aux[3], aux[4]
+        (ra_f, rb_f, valid), _ = _funnel(*_sorted_tables(vertices, order))
+        return _resolve_ranks(ra_f, rb_f, valid, order, sorted_pack)
 
     def apply(vertices: jax.Array, aux) -> jax.Array:
         """Cone penalty on a fixed pair list; differentiable in vertices.

@@ -70,6 +70,10 @@ def _gather_kernel(meta_ref, vr3_ref, out_ref, *, H: int, L: int):
     # meta_ref [8, TR]: row 0 = hi (f32-exact ints), row 1 = lo
     # vr3_ref [3L, H]: vr3[c*L + l, h] = table[h*L + l, c]
     # out_ref [8, TR]: rows 0..2 = gathered x/y/z
+    # (An r5 experiment stacked the three digit planes into one
+    # [9L, H] x [H, TR] dot; it measured ~13% SLOWER than the three
+    # dependent [3L, H] dots — the small-matmul pipeline was not the
+    # bottleneck — so the 3-pass form stays.)
     f32 = jnp.float32
     tr = meta_ref.shape[1]
     hi_row = meta_ref[0:1, :]                     # [1, TR]
@@ -117,17 +121,20 @@ def _scatter_kernel(meta_ref, part_ref, *, H: int, L: int):
     # Split the SKINNY [3, TR] gradient rows into bf16 digits BEFORE the
     # [3L, TR] one-hot expansion (splitting the expanded tensor cost ~2 ms
     # of VPU time at B=64 — 64x the elements for the same information).
-    # bf16 * bf16 one-hot keeps each digit exact, so three NT-form MXU
-    # passes still reconstruct the f32 contraction exactly.
-    update = jnp.zeros((3 * L, H), f32)
-    for part in _split3(meta_ref[2:5, :]):       # 3 x [3, TR] bf16
-        ghatT = jnp.concatenate(
-            [oh_loT * part[c:c + 1, :] for c in range(3)], axis=0)
-        update += jax.lax.dot_general(
-            ghatT, oh_hiT, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-            precision=jax.lax.Precision.DEFAULT)  # see gather kernel note
-    part_ref[0, :, :] = update
+    # bf16 * bf16 one-hot keeps each digit exact; the three digit planes
+    # stack on the ROW axis so the whole contraction is ONE NT-form MXU
+    # dot per grid step (see the gather kernel's stacking note), folded
+    # back with two f32 adds.
+    ghat9 = jnp.concatenate(
+        [oh_loT * part[c:c + 1, :]
+         for part in _split3(meta_ref[2:5, :])   # 3 x [3, TR] bf16
+         for c in range(3)], axis=0)             # [9L, TR]
+    up9 = jax.lax.dot_general(
+        ghat9, oh_hiT, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.DEFAULT)      # see gather kernel note
+    part_ref[0, :, :] = (up9[0:3 * L] + up9[3 * L:6 * L]
+                         + up9[6 * L:9 * L])
 
 
 def _prep_meta(ids: jax.Array, values: jax.Array | None, R: int):
