@@ -41,9 +41,29 @@ V2V_MEAN_MM_MAX = 52.0
 V2V_P90_MM_MAX = 105.0
 REPROJ_MEAN_PX_MAX = 3.0
 
+# Per-part bars, mirroring the reference's cropped-EHF report columns
+# (eval.py:140-146).  Calibrated against the round-5 TPU artifact
+# (QUALITY_r05.json: body 29.4 mm, face 7.1 mm, hands 3.6 mm,
+# PA-MPJPE-14 37.9 mm; the skeleton-joint metrics carry the monocular
+# shape-ambiguity floor) with generous slack like the aggregate gates.
+BODY_MM_MAX = 55.0
+FACE_MM_MAX = 12.0
+HANDS_MM_MAX = 6.0
+PA_MPJPE14_MM_MAX = 48.0
+
+# Round-over-round trend: the mean V2V of the latest artifact may not
+# regress more than this factor over the PREVIOUS round's committed
+# artifact — catches a slow quality bleed that stays inside the absolute
+# gates every round (VERDICT r4 weak #5).
+TREND_MAX_REGRESSION = 1.10
+
+
+def _artifacts():
+    return sorted(glob.glob(osp.join(REPO, "QUALITY_r*.json")))
+
 
 def _latest_artifact():
-    files = sorted(glob.glob(osp.join(REPO, "QUALITY_r*.json")))
+    files = _artifacts()
     return files[-1] if files else None
 
 
@@ -65,6 +85,36 @@ class TestQualityArtifact:
         assert rec["p90_mm"] <= V2V_P90_MM_MAX, (path, rec["p90_mm"])
         assert rec["reproj_px_mean"] <= REPROJ_MEAN_PX_MAX, (
             path, rec["reproj_px_mean"])
+
+    def test_per_part_within_thresholds(self):
+        """Body/Face/Hands PA-V2V + PA-MPJPE-14 (the reference's cropped-EHF
+        columns) gated individually.  Artifacts before round 5 predate the
+        per-part fields; the LATEST artifact must carry them."""
+        path = _latest_artifact()
+        assert path is not None
+        with open(path) as f:
+            rec = json.load(f)
+        if "body_mm" not in rec:
+            pytest.skip("pre-round-5 artifact without per-part fields")
+        assert rec["body_mm"] <= BODY_MM_MAX, (path, rec["body_mm"])
+        assert rec["face_mm"] <= FACE_MM_MAX, (path, rec["face_mm"])
+        assert rec["hands_mm"] <= HANDS_MM_MAX, (path, rec["hands_mm"])
+        assert rec["pa_mpjpe14_mm"] <= PA_MPJPE14_MM_MAX, (
+            path, rec["pa_mpjpe14_mm"])
+
+    def test_no_round_over_round_regression(self):
+        """Mean V2V must not creep >10% over the previous round's artifact —
+        absolute gates alone would let a slow bleed pass every round."""
+        files = _artifacts()
+        if len(files) < 2:
+            pytest.skip("fewer than two round artifacts committed")
+        with open(files[-2]) as f:
+            prev = json.load(f)
+        with open(files[-1]) as f:
+            cur = json.load(f)
+        assert cur["value"] <= prev["value"] * TREND_MAX_REGRESSION, (
+            f"mean V2V regressed {files[-2]}={prev['value']} -> "
+            f"{files[-1]}={cur['value']}")
 
     def test_artifact_records_provenance(self):
         path = _latest_artifact()
