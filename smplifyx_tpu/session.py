@@ -46,6 +46,7 @@ class FitSession:
     get_model: Callable[[str], object]
     collision_fn: object = None
     _fitted: Optional[Callable] = field(default=None, repr=False)
+    _staged: dict = field(default_factory=dict, repr=False)
 
     def fitted(self, first_model):
         """The shared jitted fit program (compiled once per batch shape)."""
@@ -87,6 +88,72 @@ class FitSession:
     def fit(self, model, joints_model, frames, x0):
         """Run the staged fit on a prepared (bucketed) batch."""
         return self.fitted(model)(model, joints_model, frames, x0)
+
+    def fit_stages(self, model, joints_model, frames, x0):
+        """Split-dispatch fit: yields (stage_idx, FitResult) after the HEAD
+        dispatch (camera init + stage 0) and after every further body stage.
+
+        Each yield is a synchronized device round-trip, so callers can
+        stream intermediate meshes while the fit runs — the TPU counterpart
+        of the reference's live MeshViewer updating during optimization
+        (mesh_viewer.py:82-97); viz/viewer.py --live renders the stream.
+        Also the path for splitting one long fit into several dispatches
+        that each stay under a remote-execution RPC deadline.
+
+        Semantics vs the monolithic fit(): identical staging, except the
+        dual-orientation selection (try_both_orient) resolves after the
+        HEAD dispatch instead of after the last stage — body stages then
+        refine the winning orientation only.  Stages sharing a collision
+        flag share ONE compiled executable (weights are a traced argument).
+        """
+        import jax
+        import jax.tree_util as jtu
+
+        from smplifyx_tpu.fitting.pipeline import fit_batch
+
+        if self.cfg.interpenetration and self.collision_fn is None:
+            self.fitted(model)  # builds collision tables as a side effect
+        schedule = self.schedule
+        num_stages = jtu.tree_leaves(schedule)[0].shape[0]
+        if self.coll_stage_mask is not None:
+            mask = tuple(self.coll_stage_mask)
+        else:
+            on = bool(self.settings.interpenetration
+                      and self.collision_fn is not None)
+            mask = (on,) * num_stages
+
+        def program(kind, coll):
+            key = (kind, coll)
+            if key not in self._staged:
+                if kind == "head":
+                    opts = self.options
+                else:
+                    opts = self.options.replace(camera_stage=False,
+                                                try_both_orient=False)
+                self._staged[key] = jax.jit(
+                    lambda m, jm, fr, x, w, o=opts, c=coll: fit_batch(
+                        m, self.settings, o, w, fr, x, self.decode_body,
+                        self.joint_map, gmm=self.gmm,
+                        edge_idxs=self.edge_idxs,
+                        collision_fn=self.collision_fn,
+                        joints_model=jm, coll_stage_mask=(c,),
+                        lhand_gmm=self.lhand_gmm, rhand_gmm=self.rhand_gmm,
+                    )
+                )
+            return self._staged[key]
+
+        def stage_w(k):
+            return jtu.tree_map(lambda a: a[k:k + 1], schedule)
+
+        res = program("head", mask[0])(
+            model, joints_model, frames, x0, stage_w(0))
+        jax.block_until_ready(res.loss)
+        yield 0, res
+        for k in range(1, num_stages):
+            res = program("stage", mask[k])(
+                model, joints_model, frames, res.x, stage_w(k))
+            jax.block_until_ready(res.loss)
+            yield k, res
 
     def joint_weights(self) -> np.ndarray:
         """Base per-keypoint weights for this config's format/flags —

@@ -236,6 +236,52 @@ function frame(t) {{
   requestAnimationFrame(frame);
 }}
 requestAnimationFrame(frame);
+{live_js}
+</script></body></html>
+"""
+
+# Injected into the page only by the --live server: persists the camera /
+# display state across reloads, follows the newest mesh as stages stream
+# in, and polls /version — any change to the results tree reloads the page
+# with the state restored (the refresh loop of the reference's live
+# MeshViewer, mesh_viewer.py:82-97, as a zero-dependency web page).
+_LIVE_JS = """
+const LIVE_VER = %(ver)r;
+try {
+  const s = JSON.parse(localStorage.getItem('sxtpu_view') || 'null');
+  if (s) {
+    yaw = s.yaw; pitch = s.pitch; dist = s.dist;
+    panx = s.panx; pany = s.pany; wire = s.wire;
+    // a grown mesh list means new stages landed: jump to the newest
+    setMesh(MESHES.length > (s.count || 0) ? MESHES.length - 1 : s.cur);
+  }
+} catch (e) {}
+setInterval(() => {
+  localStorage.setItem('sxtpu_view', JSON.stringify(
+    {yaw, pitch, dist, panx, pany, wire, cur, count: MESHES.length}));
+}, 500);
+setInterval(async () => {
+  try {
+    const r = await fetch('/version');
+    const j = await r.json();
+    if (j.ver !== LIVE_VER) location.reload();
+  } catch (e) {}
+}, %(poll_ms)d);
+"""
+
+_WAITING_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>%(title)s</title></head>
+<body style="background:#14171c;color:#cfd6e1;font:14px system-ui">
+<p style="margin:40vh auto;text-align:center">waiting for the first
+result pickle under the watched directory&hellip;</p>
+<script>
+setInterval(async () => {
+  try {
+    const r = await fetch('/version');
+    const j = await r.json();
+    if (j.ver !== %(ver)r) location.reload();
+  } catch (e) {}
+}, %(poll_ms)d);
 </script></body></html>
 """
 
@@ -265,17 +311,149 @@ def export_viewer_html(
         for m in meshes
     ]
     assert payload, "export_viewer_html: no meshes"
-    html = _PAGE.format(title=title, meshes_json=json.dumps(payload))
+    html = _PAGE.format(title=title, meshes_json=json.dumps(payload),
+                        live_js="")
     with open(out_path, "w") as f:
         f.write(html)
     return out_path
+
+
+def _params_of(d, model):
+    """Result-pickle dict -> single-frame BodyParams (host-side CPU jax)."""
+    import jax.numpy as jnp
+
+    from smplifyx_tpu.models.forward import BodyParams
+
+    def get(key, size):
+        v = np.asarray(d[key], np.float32).reshape(1, -1)
+        return jnp.asarray(v[:, :size])
+
+    return BodyParams(
+        global_orient=get("global_orient", 3),
+        body_pose=get("body_pose", 63),
+        betas=get("betas", model.num_betas),
+        expression=get("expression", model.num_expr),
+        jaw_pose=get("jaw_pose", 3),
+        leye_pose=get("leye_pose", 3),
+        reye_pose=get("reye_pose", 3),
+        left_hand_pose=get("left_hand_pose", model.num_pca),
+        right_hand_pose=get("right_hand_pose", model.num_pca),
+    )
+
+
+def _result_pickles(results_dir: str) -> list[str]:
+    return sorted(glob.glob(osp.join(results_dir, "**/*.pkl"),
+                            recursive=True))
+
+
+def results_fingerprint(results_dir: str) -> str:
+    """Cheap change token over the results tree: path+mtime+size of every
+    result pickle (what /version serves; any write bumps it)."""
+    parts = []
+    for pkl in _result_pickles(results_dir):
+        try:
+            st = os.stat(pkl)
+            parts.append(f"{pkl}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            continue
+    import hashlib
+
+    return hashlib.sha1("\n".join(parts).encode()).hexdigest()[:16]
+
+
+def collect_meshes(results_dir: str, model, include_stages: bool) -> list:
+    """Forward every result pickle (and optionally its per-stage snapshots)
+    into viewer mesh dicts."""
+    from smplifyx_tpu.models.forward import smplx_forward
+    from smplifyx_tpu.utils.io import load_result_pickle
+
+    faces = np.asarray(model.faces)
+    meshes = []
+    for pkl in _result_pickles(results_dir):
+        try:
+            d = load_result_pickle(pkl)
+        except Exception:
+            continue  # mid-write / partial file: next poll gets it
+        name = osp.basename(osp.dirname(pkl))
+        records = []
+        if include_stages and d.get("stages"):
+            records += [(f"{name}/stage{s:02d}", st)
+                        for s, st in enumerate(d["stages"])]
+        records.append((f"{name}/final" if records else name, d))
+        for frame_name, rec in records:
+            out = smplx_forward(model, _params_of(rec, model))
+            meshes.append({
+                "name": frame_name,
+                "vertices": np.asarray(out.vertices[0]),
+                "faces": faces,
+            })
+    return meshes
+
+
+def serve_live_viewer(results_dir: str, model, port: int = 0,
+                      title: str = "smplifyx_tpu live",
+                      include_stages: bool = True, poll_ms: int = 750):
+    """HTTP server rendering the results tree as a LIVE WebGL viewer.
+
+    GET /         -> the standard viewer page built from the results tree
+                     as of this request, plus a poll script that reloads
+                     (camera state preserved, newest mesh followed) when
+                     /version changes — i.e. whenever a fit dispatch writes
+                     or updates a pickle.  During-fit parity with the
+                     reference's MeshViewer thread (mesh_viewer.py:82-97):
+                     drive a fit through FitSession.fit_stages (or any
+                     writer that updates pickles per stage) and watch
+                     stages appear as each dispatch returns.
+    GET /version  -> {"ver": <fingerprint>} of the current tree.
+
+    Returns the (not yet started) ThreadingHTTPServer; call
+    serve_forever() (the CLI does) or run it on a thread (tests do).
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    def render_page() -> str:
+        ver = results_fingerprint(results_dir)
+        meshes = collect_meshes(results_dir, model, include_stages)
+        if not meshes:
+            return _WAITING_PAGE % {
+                "title": title, "ver": ver, "poll_ms": poll_ms}
+        payload = [{"name": str(m["name"]),
+                    "v": _b64(m["vertices"], np.float32),
+                    "f": _b64(m["faces"], np.uint32)} for m in meshes]
+        return _PAGE.format(
+            title=title, meshes_json=json.dumps(payload),
+            live_js=_LIVE_JS % {"ver": ver, "poll_ms": poll_ms})
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.split("?")[0] == "/version":
+                body = json.dumps(
+                    {"ver": results_fingerprint(results_dir)}).encode()
+                ctype = "application/json"
+            elif self.path.split("?")[0] in ("/", "/index.html"):
+                body = render_page().encode()
+                ctype = "text/html; charset=utf-8"
+            else:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet by default
+            pass
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--results", required=True,
                    help="results tree containing <frame>/000.pkl")
-    p.add_argument("--out", required=True, help="output .html path")
+    p.add_argument("--out", help="output .html path (static export mode)")
     p.add_argument("--model_folder", default="models")
     p.add_argument("--gender", default="neutral")
     p.add_argument("--synthetic_model", action="store_true")
@@ -285,16 +463,23 @@ def main(argv=None):
                         "pickle's 'stages' snapshots (written when the fit "
                         "ran with visualize) — scrub the fit like the "
                         "reference's live MeshViewer (mesh_viewer.py:82-97)")
+    p.add_argument("--live", action="store_true",
+                   help="serve the viewer over HTTP and auto-refresh it "
+                        "whenever the results tree changes — watch a "
+                        "running fit stage-by-stage (pair with "
+                        "FitSession.fit_stages; stage snapshots always "
+                        "included, as with --stages)")
+    p.add_argument("--port", type=int, default=8008,
+                   help="--live listen port (0 = ephemeral)")
+    p.add_argument("--poll_ms", type=int, default=750,
+                   help="--live change-poll interval")
     args = p.parse_args(argv)
+    if not args.live and not args.out:
+        p.error("--out is required unless --live")
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # host-side, never the TPU
-
-    import jax.numpy as jnp
-
-    from smplifyx_tpu.models.forward import BodyParams, smplx_forward
-    from smplifyx_tpu.utils.io import load_result_pickle
 
     if args.synthetic_model:
         from smplifyx_tpu.models.bodymodel import synthetic_model
@@ -307,50 +492,22 @@ def main(argv=None):
             args.model_folder, "smplx", f"SMPLX_{args.gender.upper()}.npz"
         ))
 
-    pkls = sorted(glob.glob(osp.join(args.results, "**/*.pkl"),
-                            recursive=True))
-    assert pkls, f"no result pickles under {args.results}"
+    if args.live:
+        server = serve_live_viewer(args.results, model, port=args.port,
+                                   poll_ms=args.poll_ms)
+        host, port = server.server_address[:2]
+        print(f"live viewer: http://{host}:{port}/  (watching "
+              f"{args.results}; Ctrl-C to stop)", flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
+        return
 
-    faces = np.asarray(model.faces)
-
-    def params_of(d):
-        def get(key, size):
-            v = np.asarray(d[key], np.float32).reshape(1, -1)
-            return jnp.asarray(v[:, :size])
-
-        return BodyParams(
-            global_orient=get("global_orient", 3),
-            body_pose=get("body_pose", 63),
-            betas=get("betas", model.num_betas),
-            expression=get("expression", model.num_expr),
-            jaw_pose=get("jaw_pose", 3),
-            leye_pose=get("leye_pose", 3),
-            reye_pose=get("reye_pose", 3),
-            left_hand_pose=get("left_hand_pose", model.num_pca),
-            right_hand_pose=get("right_hand_pose", model.num_pca),
-        )
-
-    meshes = []
-    for pkl in pkls:
-        d = load_result_pickle(pkl)
-        name = osp.basename(osp.dirname(pkl))
-        records = []
-        if args.stages and d.get("stages"):
-            records += [(f"{name}/stage{s:02d}", st)
-                        for s, st in enumerate(d["stages"])]
-        records.append((f"{name}/final" if records else name, d))
-        for frame_name, rec in records:
-            out = smplx_forward(model, params_of(rec))
-            verts = np.asarray(out.vertices[0])
-            # match the reference viewer's upright convention
-            # (mesh_viewer-style 180deg about x happens in the orbit, not
-            # data)
-            meshes.append({
-                "name": frame_name,
-                "vertices": verts,
-                "faces": faces,
-            })
-
+    # (vertices fed as fitted; the reference viewer's 180deg-about-x upright
+    # convention happens in the orbit, not the data)
+    meshes = collect_meshes(args.results, model, include_stages=args.stages)
+    assert meshes, f"no result pickles under {args.results}"
     out_path = export_viewer_html(meshes, args.out)
     print(out_path)
 
