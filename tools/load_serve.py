@@ -25,7 +25,13 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def main(clients=8, per_client=8, max_wait_s=0.25, platform=None,
-         num_verts=10475):
+         num_verts=10475, cfg_path="cfg/fit_smplx_combined_coco25.yaml",
+         interp=False, max_batch=32):
+    """interp=True serves the config's own interpenetration setting (the
+    classic preset runs collision in its late stages — the deployment whose
+    multi-second per-bucket fits stress max_wait_s coalescing and bucket
+    warmup very differently from the collision-off default); False keeps
+    the historical collision-off measurement."""
     import jax
 
     if platform:
@@ -37,15 +43,17 @@ def main(clients=8, per_client=8, max_wait_s=0.25, platform=None,
     from smplifyx_tpu.serve import FitService, serve_http
     from smplifyx_tpu.utils.config import load_config
 
+    over = {} if interp else {"interpenetration": False}
     cfg = load_config(
-        "cfg/fit_smplx_combined_coco25.yaml",
+        cfg_path,
         data_folder="/nonexistent", output_folder="/tmp/unused_load",
         regression_prior="", use_camera_prior=False,
-        interpenetration=False,
+        use_gender_classifier=False, vposer_ckpt="synthetic",
         synthetic_model=True, synthetic_num_verts=num_verts,
+        **over,
     )
     model = synthetic_model(num_verts=num_verts, seed=0)
-    svc = FitService.from_config(cfg, model=model, max_batch=32,
+    svc = FitService.from_config(cfg, model=model, max_batch=max_batch,
                                  max_wait_s=max_wait_s, max_queue=256)
     server = serve_http(svc, port=0)
     host, port = server.server_address[:2]
@@ -112,6 +120,7 @@ def main(clients=8, per_client=8, max_wait_s=0.25, platform=None,
     lat = np.asarray(sorted(latencies))
     print(json.dumps({
         "metric": "serve_load",
+        "config": cfg_path, "interpenetration": bool(cfg.interpenetration),
         "clients": clients, "per_client": per_client,
         "max_wait_s": max_wait_s, "num_verts": num_verts,
         "completed": int(lat.size), "errors": len(errors),
@@ -135,4 +144,8 @@ if __name__ == "__main__":
          per_client=int(a[1]) if len(a) > 1 else 8,
          max_wait_s=float(a[2]) if len(a) > 2 else 0.25,
          platform=(a[3] if len(a) > 3 and a[3] != "tpu" else None),
-         num_verts=int(a[4]) if len(a) > 4 else 10475)
+         num_verts=int(a[4]) if len(a) > 4 else 10475,
+         cfg_path=(a[5] if len(a) > 5
+                   else "cfg/fit_smplx_combined_coco25.yaml"),
+         interp=bool(int(a[6])) if len(a) > 6 else False,
+         max_batch=int(a[7]) if len(a) > 7 else 32)
