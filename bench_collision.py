@@ -38,9 +38,11 @@ def build(B, iters, aux_every, refresh, ls_mode="wolfe", max_evals=0,
     F = 20908
     faces = rng.integers(0, model.num_verts, size=(F, 3)).astype(np.int32)
     segm, parents = synthetic_part_segm(F, num_parts=27, seed=0)
+    import os
     collision_fn = make_collision_fn(
         jnp.asarray(faces), segm=segm, parents=parents,
-        max_pairs=4096, sigma=1e-4, penalize_outside=False)
+        max_pairs=4096, sigma=1e-4, penalize_outside=False,
+        max_tris=int(os.environ.get("BENCH_MAX_TRIS", "2048")))
     schedule = build_stage_schedule(
         body_pose_prior_weights=[4.04e2, 57.4, 4.78],
         shape_weights=[1e2, 1e1, 0.5e1], expr_weights=[1e2, 1e1, 0.5e1],

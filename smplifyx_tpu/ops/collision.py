@@ -160,6 +160,25 @@ def _use_pallas_narrow() -> bool:
     return _on_tpu()
 
 
+def _use_uniq_narrow() -> bool:
+    """Gate for the two-level (unique-triangle) narrow-phase gather.
+
+    The pair list's 2*P triangle slots hold heavy DUPLICATION (a contact
+    region's triangle appears in many pairs: 1548 surviving pairs on the
+    oracle mesh touch ~low-hundreds of distinct triangles).  Gathering the
+    corner positions of the <= max_tris UNIQUE triangles once per
+    evaluation and remapping pairs against that small [T, 9] table cuts
+    the one-hot contraction work ~2.2x at the production budgets
+    (6P x V -> 3T x V + 2P x T x 3): the narrow gather was the single
+    largest leaf cost of a collision stage (profiler: 2.47 ms/eval = 39%
+    of the dispatch at B=64 before this).  Bit-exact — the gathered VALUES
+    are identical, only the routing changes.  SMPLIFYX_NARROW_UNIQ=0
+    restores the flat 6P-row gather."""
+    import os
+
+    return os.environ.get("SMPLIFYX_NARROW_UNIQ", "1") == "1"
+
+
 def _split3f(x: jax.Array):
     """f32 -> three bf16 digits whose f32 sum reconstructs x EXACTLY
     (two 8-bit bf16 mantissa digits leave a residual of <= 8 significant
@@ -228,7 +247,7 @@ def _gather_rows_mm(table: jax.Array, ids: jax.Array) -> jax.Array:
 
 
 def _scatter_add_mm(ids: jax.Array, g: jax.Array, num_rows: int) -> jax.Array:
-    """sum-scatter g [R, 3] into [num_rows, 3] at ids [R] — as matmuls.
+    """sum-scatter g [R, W] into [num_rows, W] at ids [R] — as matmuls.
 
     A native TPU scatter-add executes on the SERIAL scalar core at ~41 ns
     per row-lane (B=32 x 24576 rows = 34.5 ms/dispatch measured on v5e).
@@ -247,18 +266,18 @@ def _scatter_add_mm(ids: jax.Array, g: jax.Array, num_rows: int) -> jax.Array:
     """
     L = _SPLIT_L
     H = -(-num_rows // L)
-    R = ids.shape[0]
+    R, W = g.shape
     hi = ids // L
     lo = ids % L
     f32 = jnp.float32
     oh_lo = (lo[:, None] == jnp.arange(L, dtype=ids.dtype)[None, :])
     oh_hi = (hi[:, None] == jnp.arange(H, dtype=ids.dtype)[None, :])
-    tmp = (oh_lo.astype(f32)[:, :, None] * g[:, None, :]).reshape(R, L * 3)
+    tmp = (oh_lo.astype(f32)[:, :, None] * g[:, None, :]).reshape(R, L * W)
     out = jnp.einsum(
         "rh,rf->hf", oh_hi.astype(f32), tmp,
         preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
     )
-    return out.reshape(H * L, 3)[:num_rows]
+    return out.reshape(H * L, W)[:num_rows]
 
 
 def _make_corner_gather(num_verts: int):
@@ -300,6 +319,70 @@ def _make_corner_gather(num_verts: int):
         else:
             dv = jnp.zeros((num_verts, 3), g.dtype).at[ids].add(g)
         return dv, None, None
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
+def _make_pair_gather(num_verts: int):
+    """Two-level narrow-phase corner fetch (the `_use_uniq_narrow` path).
+
+    vertices [V,3], tri_corners [T,3] int (corner vertex ids of the UNIQUE
+    surviving triangles), pa/pb [P] int (each pair side's index into that
+    unique list) -> (ta, tb) [P,3,3].
+
+    Level 1 gathers 3T corner positions from the full vertex table; level 2
+    remaps the P pairs against the small [T, 9] per-triangle corner rows.
+    Total one-hot work 3T*V + 2P*T*3 vs the flat form's 6P*V — ~2.2x less
+    at the production budgets (P=4096, T=2048, V=10475).  The VJP runs the
+    same two levels transposed (pair-grad scatter into [T, 9], then corner
+    scatter into [V, 3]).  Values are routed bit-identically to the flat
+    gather.  TPU-only (`_on_tpu`); elsewhere native indexing is faster."""
+    use_mm = _on_tpu()
+    use_pallas = _use_pallas_narrow()
+    if use_pallas:
+        from smplifyx_tpu.ops.gather_pallas import (gather_rows,
+                                                    scatter_add_rows)
+
+    @jax.custom_vjp
+    def gather(vertices, tri_corners, pa, pb):
+        T = tri_corners.shape[0]
+        P = pa.shape[0]
+        cids = tri_corners.reshape(-1)                  # [3T]
+        pids = jnp.concatenate([pa, pb])                # [2P]
+        if use_pallas:
+            c9 = gather_rows(vertices, cids).reshape(T, 9)
+            rows = gather_rows(c9, pids)                # [2P, 9]
+        elif use_mm:
+            c9 = _gather_rows_mm(vertices, cids).reshape(T, 9)
+            rows = _gather_rows_mm(c9, pids)
+        else:
+            c9 = vertices[cids].reshape(T, 9)
+            rows = c9[pids]
+        rows = rows.reshape(2, P, 3, 3)
+        return rows[0], rows[1]
+
+    def fwd(vertices, tri_corners, pa, pb):
+        return gather(vertices, tri_corners, pa, pb), (tri_corners, pa, pb)
+
+    def bwd(res, ct):
+        tri_corners, pa, pb = res
+        T = tri_corners.shape[0]
+        gta, gtb = ct
+        gp = jnp.concatenate([gta.reshape(-1, 9), gtb.reshape(-1, 9)])
+        pids = jnp.concatenate([pa, pb])
+        cids = tri_corners.reshape(-1)
+        if use_pallas:
+            gc9 = scatter_add_rows(pids, gp, T)          # [T, 9]
+            dv = scatter_add_rows(cids, gc9.reshape(-1, 3), num_verts)
+        elif use_mm:
+            gc9 = _scatter_add_mm(pids, gp, T)
+            dv = _scatter_add_mm(cids, gc9.reshape(-1, 3), num_verts)
+        else:
+            gc9 = jnp.zeros((T, 9), gp.dtype).at[pids].add(gp)
+            dv = jnp.zeros((num_verts, 3), gp.dtype) \
+                .at[cids].add(gc9.reshape(-1, 3))
+        return dv, None, None, None
 
     gather.defvjp(fwd, bwd)
     return gather
@@ -352,6 +435,7 @@ def make_collision_fn(
     max_sup_pairs: int = 8192,
     max_hit_sup_pairs: int = 4096,
     max_hit_pairs: int = 1024,
+    max_tris: int = 2048,
     sigma: float = 1e-4,
     penalize_outside: bool = True,
     point2plane: bool = False,
@@ -429,6 +513,11 @@ def make_collision_fn(
     Phs = min(max_hit_sup_pairs, Ps)
     Ph = min(max_hit_pairs, Phs * _SUP * _SUP)
     P = min(max_pairs, Ph * _BLK * _BLK)
+    uniq_mode = _use_uniq_narrow()
+    # unique-triangle budget: at most 2P slots can be distinct, and the
+    # funnel's hit-block granularity bounds distinct triangles by the hit
+    # blocks' 8-triangle contents.
+    T = min(max_tris, 2 * P)
 
     pad = Fp - F
     spad = nbp - nb
@@ -808,8 +897,19 @@ def make_collision_fn(
         """Surviving-pair counts vs budgets at each hierarchy level:
         {level: (count, budget)}.  Any count == budget means _compact is
         silently dropping pairs for this pose — raise the corresponding
-        max_*_pairs.  Debug/audit path (one extra broad-phase run)."""
-        _, counts = candidate_pairs(vertices, return_counts=True)
+        max_*_pairs.  Debug/audit path (one extra broad-phase run).
+
+        Includes 'narrow_tris' (distinct surviving triangles vs max_tris)
+        when the unique-triangle narrow phase is active."""
+        order = morton_order(vertices)
+        sorted_pack = _sorted_pack_of(order)
+        (ra_f, rb_f, valid), counts = _funnel(
+            *_sorted_tables(vertices, order), return_counts=True)
+        if uniq_mode:
+            _, uc = _resolve_ranks(ra_f, rb_f, valid, order, sorted_pack,
+                                   return_counts=True)
+            counts = dict(counts)
+            counts["narrow_tris"] = uc
         return counts
 
     def _sorted_pack_of(order):
@@ -818,15 +918,60 @@ def make_collision_fn(
         resolves re-permute it)."""
         return _g_mm(faces_f, order) if _use_mm else faces_f[order]
 
-    def _resolve_ranks(ra_f, rb_f, valid, order, sorted_pack):
-        """Map surviving triangle RANKS to corner vertex ids via the sorted
-        corner table (the face->corner lookup depends only on the pair
-        list, so hoisting it here removes two [P]-row gathers from every
-        line-search eval)."""
-        rr = jnp.minimum(jnp.concatenate([ra_f, rb_f]), F - 1)
-        vv = _g_mm(sorted_pack[:, :3], rr.astype(jnp.int32)) \
-            .astype(jnp.int32)                          # [2P, 3]
-        return (vv[:P], vv[P:], valid, order.astype(jnp.int32), sorted_pack)
+    def _resolve_ranks(ra_f, rb_f, valid, order, sorted_pack,
+                       return_counts=False):
+        """Map surviving triangle RANKS to the narrow-phase aux (hoisted
+        here so the per-line-search-eval path does no rank->corner work).
+
+        Flat mode: corner vertex ids per pair slot, (va [P,3], vb [P,3],
+        valid, order, sorted_pack).
+
+        Unique mode (`_use_uniq_narrow`): deduplicate the 2P surviving
+        ranks to <= T unique triangles — sort + adjacent-compare + the
+        same top_k `_compact` as every funnel level — resolve corner ids
+        ONCE per unique triangle, and store each pair side as an index
+        into that list: (tri_corners [T,3], (pa, pb) [P] each, valid,
+        order, sorted_pack).  A pose with more than T distinct contacting
+        triangles drops the overflow pairs (valid &= matched) — same
+        budget semantics as every other funnel level; audited by
+        `saturation()['narrow_tris']`."""
+        if not uniq_mode:
+            rr = jnp.minimum(jnp.concatenate([ra_f, rb_f]), F - 1)
+            vv = _g_mm(sorted_pack[:, :3], rr.astype(jnp.int32)) \
+                .astype(jnp.int32)                      # [2P, 3]
+            out = (vv[:P], vv[P:], valid,
+                   order.astype(jnp.int32), sorted_pack)
+            return (out, None) if return_counts else out
+        fp32 = jnp.float32
+        sentinel = fp32(Fp)  # sorts after every real rank
+        ra_v = jnp.where(valid, ra_f, sentinel)
+        rb_v = jnp.where(valid, rb_f, sentinel)
+        s = jnp.sort(jnp.concatenate([ra_v, rb_v]))     # [2P]
+        is_new = jnp.concatenate(
+            [jnp.ones((1,), bool), s[1:] != s[:-1]]) & (s < sentinel)
+        pos, uvalid = _compact(is_new, T)
+        uniq = jnp.where(uvalid, _g_small(s[:, None], pos)[:, 0],
+                         fp32(F - 1))                   # [T] ranks
+        tri_corners = _g_mm(
+            sorted_pack[:, :3],
+            jnp.minimum(uniq, F - 1).astype(jnp.int32),
+        ).astype(jnp.int32)                             # [T, 3]
+        # pair side -> unique index: dense compare (VPU; [P, T] bools).
+        # Ranks are f32-exact (< 2^24), so equality is exact.
+        uniq_row = jnp.where(uvalid, uniq, fp32(-1.0))[None, :]
+
+        def side_index(r):
+            eq = r[:, None] == uniq_row                 # [P, T]
+            idx = jnp.argmax(eq, axis=1).astype(jnp.int32)
+            return idx, jnp.any(eq, axis=1)
+
+        pa, ma = side_index(ra_f)
+        pb, mb = side_index(rb_f)
+        valid2 = valid & ma & mb
+        out = (tri_corners, (pa, pb), valid2,
+               order.astype(jnp.int32), sorted_pack)
+        counts = (jnp.sum(is_new), T)
+        return (out, counts) if return_counts else out
 
     def build(vertices: jax.Array):
         """Broad phase as reusable aux: the compacted pair list resolved to
@@ -859,13 +1004,19 @@ def make_collision_fn(
         Pairs are rechecked for AABB overlap at the CURRENT vertices so a
         stale list (refreshed once per optimizer iteration) never penalizes
         pairs that have separated since the refresh."""
-        va, vb, valid = aux[0], aux[1], aux[2]
+        valid = aux[2]
         # Corner gather with a custom VJP: on TPU the forward gather runs
-        # as a one-hot matmul (1.6x over the serial native gather) and the
-        # backward scatter-add as its transpose (_scatter_add_mm, 6.2x
-        # over XLA's native scatter, which serializes on the scalar core).
-        ta, tb = _make_corner_gather(vertices.shape[0])(
-            vertices, va, vb)                           # [P, 3, 3]
+        # as one-hot matmuls (vs the serial native gather) and the backward
+        # scatter-add as their transpose; the unique-triangle mode routes
+        # both through the two-level form (see _make_pair_gather).
+        if uniq_mode:
+            tri_corners, (pa, pb) = aux[0], aux[1]
+            ta, tb = _make_pair_gather(vertices.shape[0])(
+                vertices, tri_corners, pa, pb)          # [P, 3, 3]
+        else:
+            va, vb = aux[0], aux[1]
+            ta, tb = _make_corner_gather(vertices.shape[0])(
+                vertices, va, vb)                       # [P, 3, 3]
         ta_s = jax.lax.stop_gradient(ta)
         tb_s = jax.lax.stop_gradient(tb)
         live = valid

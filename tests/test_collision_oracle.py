@@ -135,6 +135,44 @@ class TestOracleFullScale:
             )
 
 
+@pytest.mark.slow
+class TestUniqueNarrowEquivalence:
+    """The two-level (unique-triangle) narrow phase routes identical corner
+    VALUES through a dedup + remap; penalty and gradient must match the
+    flat 6P-row gather bitwise when the triangle budget holds."""
+
+    def test_apply_and_grad_match_flat(self, monkeypatch):
+        verts, faces, segm, parents = build_posed_human(scale_faces=1.25)
+        vj = jnp.asarray(verts)
+
+        def build_fn():
+            return make_collision_fn(
+                jnp.asarray(faces), segm=segm, parents=parents)
+
+        monkeypatch.setenv("SMPLIFYX_NARROW_UNIQ", "0")
+        fn_flat = build_fn()
+        monkeypatch.setenv("SMPLIFYX_NARROW_UNIQ", "1")
+        fn_uniq = build_fn()
+
+        aux_f = jax.jit(fn_flat.build)(vj)
+        aux_u = jax.jit(fn_uniq.build)(vj)
+        # saturation guard: the equivalence claim only holds under budget
+        n_uniq, budget = fn_uniq.saturation(vj)["narrow_tris"]
+        assert int(n_uniq) < budget, (int(n_uniq), budget)
+
+        p_f, g_f = jax.jit(jax.value_and_grad(
+            lambda v: fn_flat.apply(v, aux_f)))(vj)
+        p_u, g_u = jax.jit(jax.value_and_grad(
+            lambda v: fn_uniq.apply(v, aux_u)))(vj)
+        assert float(p_f) > 0.0  # contact-heavy: non-trivial penalty
+        np.testing.assert_array_equal(np.asarray(p_f), np.asarray(p_u))
+        # Backward: same contributions, different ASSOCIATION (pair grads
+        # fold into per-triangle rows before the vertex scatter), so
+        # duplicate-heavy vertices see summation-order rounding only.
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_u),
+                                   rtol=1e-4, atol=1e-6)
+
+
 class TestStaleOrderRefresh:
     """build_refresh reuses the previous Morton permutation (the pipeline
     persists it across broad-phase refreshes within a stage); the funnel

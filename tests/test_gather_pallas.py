@@ -72,6 +72,22 @@ class TestScatterKernel:
         np.testing.assert_allclose(np.asarray(out), want,
                                    rtol=1e-6, atol=1e-6)
 
+    def test_width9_gather_and_scatter(self):
+        """C=9 tables (the unique-triangle remap path) round-trip exactly."""
+        rng = np.random.default_rng(2)
+        T, R = 555, 2048
+        table = jnp.asarray(rng.normal(size=(T, 9)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, T, size=R).astype(np.int32))
+        out = gather_rows(table, ids, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(table)[np.asarray(ids)])
+        g = jnp.asarray(rng.normal(size=(R, 9)).astype(np.float32))
+        sc = scatter_add_rows(ids, g, T, interpret=True)
+        want = np.zeros((T, 9), np.float32)
+        np.add.at(want, np.asarray(ids), np.asarray(g))
+        np.testing.assert_allclose(np.asarray(sc), want,
+                                   rtol=1e-6, atol=1e-6)
+
     def test_duplicate_heavy_ids(self):
         # All rows hit a handful of targets: exercises accumulation across
         # grid steps and within a tile.
