@@ -312,9 +312,9 @@ def build_fit_session(cfg: Config, model=None) -> FitSession:
     options = FitOptions(
         lbfgs=LBFGSConfig(
             max_iters=cfg.resolved_lbfgs_iters, history=cfg.history_size,
-            max_ls=cfg.max_line_search, lr=cfg.lr,
+            max_ls=cfg.resolved_max_line_search, lr=cfg.lr,
             ftol=cfg.ftol, gtol=cfg.gtol,
-            aux_every=cfg.coll_broad_every,
+            aux_every=cfg.resolved_coll_broad_every,
             ls_mode=cfg.resolved_ls_mode,
             max_evals=cfg.resolved_max_evals,
             **soft_kw,

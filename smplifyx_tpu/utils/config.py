@@ -85,7 +85,10 @@ class Config:
     # iterations (1 = every iteration; the pair list is AABB-rechecked at
     # every evaluation either way).  The reference rebuilds its BVH every
     # closure evaluation; see fitting/lbfgs.py aux_every for the tradeoff.
-    coll_broad_every: int = 1
+    # None => derived from `profile`: fast refreshes every 12 iterations
+    # (B=64 A/B, round 5: 12 beat 8 and 15 — 21.4 vs 18.6 vs 19.9 fps —
+    # at indistinguishable final loss), reference keeps 1.
+    coll_broad_every: Optional[int] = None
     # Optimizer profile — resolves the line-search knobs below when they
     # are not set explicitly:
     #   "fast" (DEFAULT): Armijo backtracking with value-only trials, a
@@ -181,7 +184,13 @@ class Config:
     # batched optimizer; calibration in docs/ARCHITECTURE.md).
     lbfgs_iters_per_stage: Optional[int] = None
     history_size: int = 16
-    max_line_search: int = 25
+    # Line-search trial cap per iteration.  None => derived from `profile`:
+    # fast caps Armijo backtracking at 4 trials (B=64 collision-on A/B,
+    # round 5: 32.5 vs 25.2 fps with final loss 1% LOWER — batched lanes
+    # pay the per-iteration MAX trial count, and the best-decreasing-point
+    # fallback + the final value_and_grad make a capped search safe);
+    # reference keeps the torch lbfgs_ls default of 25.
+    max_line_search: Optional[int] = None
 
     # --- runtime
     # Minimum padded batch per gender group.  Groups are always fitted
@@ -238,6 +247,18 @@ class Config:
         if self.profile == "fast":
             return (3 * self.resolved_lbfgs_iters) // 2
         return 0
+
+    @property
+    def resolved_coll_broad_every(self) -> int:
+        if self.coll_broad_every is not None:
+            return self.coll_broad_every
+        return 12 if self.profile == "fast" else 1
+
+    @property
+    def resolved_max_line_search(self) -> int:
+        if self.max_line_search is not None:
+            return self.max_line_search
+        return 4 if self.profile == "fast" else 25
 
     @property
     def resolved_ls_soft_accept(self) -> Optional[int]:
