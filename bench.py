@@ -167,7 +167,8 @@ def main():
     # golden and the per-round quality artifact.
     options = FitOptions(
         lbfgs=LBFGSConfig(max_iters=60, history=16, ftol=1e-9, gtol=1e-9,
-                          ls_soft_accept=6, ls_mode="armijo", max_evals=90),
+                          ls_soft_accept=6, ls_mode="armijo", max_evals=90,
+                          max_ls=4),
         # Camera stage stays on strong Wolfe (the measured A/B config; the
         # camera sub-problem is tiny and its convergence sets up every
         # later stage).

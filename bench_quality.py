@@ -108,7 +108,11 @@ def main(B: int = 64, ls_mode: str = "wolfe", platform: str | None = None,
         # measured 42.7 mm V2V at 30 iters vs in-gate at the flagship's 60.
         lbfgs=LBFGSConfig(max_iters=max_iters, history=10, ftol=1e-9,
                           gtol=1e-9, ls_soft_accept=6, ls_mode=ls_mode,
-                          max_evals=max_evals),
+                          max_evals=max_evals,
+                          # Mirror the production fast profile's Armijo
+                          # trial cap (Config.resolved_max_line_search);
+                          # Wolfe keeps the reference's 25.
+                          max_ls=4 if ls_mode == "armijo" else 25),
         camera_lbfgs=LBFGSConfig(max_iters=max(15, max_iters // 2),
                                  history=8, ls_soft_accept=6),
     )

@@ -34,21 +34,30 @@ def batch_rodrigues(aa: jax.Array) -> jax.Array:
     aa = aa.reshape(-1, 3)
     angle = jnp.sqrt(jnp.sum(aa * aa, axis=-1) + _EPS * _EPS)  # smooth |aa|
     axis = aa / angle[..., None]
-    sin = jnp.sin(angle)[..., None, None]
-    cos = jnp.cos(angle)[..., None, None]
+    sin = jnp.sin(angle)
+    cos = jnp.cos(angle)
 
-    zeros = jnp.zeros_like(axis[..., 0])
+    # Every entry of R = I + sin K + (1-cos) K^2 written elementwise on [N]
+    # vectors (for a unit axis, K^2 = k k^T - I), with ONE stack at the end.
+    # The K-matrix + batched 3x3 matmul form is mathematically identical but
+    # lowers to a soup of [N,3,3]-shaped stacks/tiny convs whose trailing
+    # (3,3) dims occupy ~2% of a TPU (8,128) vector tile; inside the L-BFGS
+    # while_loop this op runs every energy evaluation, and the profiler
+    # showed those tiny fusions dominating the non-collision tail of a
+    # collision-on stage (docs/ARCHITECTURE.md "Hardware utilization").
     kx, ky, kz = axis[..., 0], axis[..., 1], axis[..., 2]
-    K = jnp.stack(
+    c1 = 1.0 - cos
+    xx, yy, zz = c1 * kx * kx, c1 * ky * ky, c1 * kz * kz
+    xy, xz, yz = c1 * kx * ky, c1 * kx * kz, c1 * ky * kz
+    sx, sy, sz = sin * kx, sin * ky, sin * kz
+    R = jnp.stack(
         [
-            jnp.stack([zeros, -kz, ky], axis=-1),
-            jnp.stack([kz, zeros, -kx], axis=-1),
-            jnp.stack([-ky, kx, zeros], axis=-1),
+            cos + xx, xy - sz, xz + sy,
+            xy + sz, cos + yy, yz - sx,
+            xz - sy, yz + sx, cos + zz,
         ],
-        axis=-2,
+        axis=-1,
     )
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=aa.dtype), K.shape)
-    R = eye + sin * K + (1.0 - cos) * (K @ K)
     return R.reshape(*batch_shape, 3, 3)
 
 
